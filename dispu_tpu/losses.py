@@ -1,0 +1,234 @@
+"""Loss library: Chamfer / Hausdorff / EMD / repulsion / uniformity / LSGAN.
+
+Parity: ref:Common/loss_utils.py.  All losses are pure jittable functions of
+(pred, gt, ...) with static shapes; radius normalization follows the
+reference (the dataset supplies radius = 1 after unit-sphere normalization,
+ref:DisPU/dataset.py:68).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dispu_tpu.ops.chamfer import nn_distance
+from dispu_tpu.ops.emd import earth_mover_cost
+from dispu_tpu.ops.grouping import group_point, query_ball_point
+from dispu_tpu.ops.knn import knn
+from dispu_tpu.ops.sampling import farthest_point_sample, gather_point
+
+earth_mover = earth_mover_cost  # ref:Common/loss_utils.py:170-176
+
+
+def chamfer(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    radius=1.0,
+    forward_weight: float = 1.0,
+    threshold: float | None = None,
+) -> jnp.ndarray:
+    """Mean symmetric Chamfer loss with optional outlier suppression.
+
+    Parity: ref:Common/loss_utils.py:45-64 — forward = per-gt-point nearest
+    squared distance into pred; distances above ``mean·threshold`` zeroed
+    when a threshold is given; per-direction means summed, radius-normalized,
+    batch-averaged.
+    """
+    dists_forward, _, dists_backward, _ = nn_distance(gt, pred)
+    if threshold is not None:
+        fwd_thresh = jnp.mean(dists_forward, axis=1, keepdims=True) * threshold
+        bwd_thresh = jnp.mean(dists_backward, axis=1, keepdims=True) * threshold
+        dists_forward = jnp.where(
+            dists_forward < fwd_thresh, dists_forward, 0.0
+        )
+        dists_backward = jnp.where(
+            dists_backward < bwd_thresh, dists_backward, 0.0
+        )
+    cd = forward_weight * jnp.mean(dists_forward, axis=1) + jnp.mean(
+        dists_backward, axis=1
+    )
+    return jnp.mean(cd / radius)
+
+
+def hausdorff(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    radius=1.0,
+    forward_weight: float = 1.0,
+    threshold: float | None = None,
+) -> jnp.ndarray:
+    """Hausdorff-style max-NN loss.
+
+    Parity: ref:Common/loss_utils.py:67-84 — per-direction max, summed,
+    radius-normalized, then **max over the batch** (not mean).
+    """
+    dists_forward, _, dists_backward, _ = nn_distance(gt, pred)
+    if threshold is not None:
+        dists_forward = jnp.where(dists_forward < threshold, dists_forward, 0.0)
+        dists_backward = jnp.where(dists_backward < threshold, dists_backward, 0.0)
+    hd = forward_weight * jnp.max(dists_forward, axis=1) + jnp.max(
+        dists_backward, axis=1
+    )
+    return jnp.max(hd / radius)
+
+
+def repulsion(
+    pred: jnp.ndarray,
+    nsample: int = 20,
+    radius: float = 0.07,
+    use_knn: bool = False,
+    h: float = 0.001,
+) -> jnp.ndarray:
+    """Push points apart when closer than ``sqrt(h)``.
+
+    Parity: ref:Common/loss_utils.py:271-298 — ball-query ``nsample``
+    neighbors (padding repeats the first hit, exactly as the CUDA op), take
+    the 5 nearest, drop the self column, penalize ``max(0, h − d²)``.
+    """
+    if use_knn:
+        _, idx = knn(nsample, pred, pred)
+    else:
+        idx, _ = query_ball_point(radius, nsample, pred, pred)
+    grouped = group_point(pred, idx) - pred[:, :, None, :]
+    dists = jnp.sum(grouped**2, axis=-1)
+    neg_top, _ = jax.lax.top_k(-dists, 5)
+    val = neg_top[:, :, 1:]  # drop the nearest (self)
+    val = jnp.maximum(0.0, h + val)  # h - d^2, clipped
+    return jnp.mean(val)
+
+
+def uniform(
+    pcd: jnp.ndarray,
+    percentages: Sequence[float] = (0.004, 0.006, 0.008, 0.010, 0.012),
+    radius: float = 1.0,
+) -> jnp.ndarray:
+    """NN-spacing uniformity statistic inside euclidean disks.
+
+    Parity: ref:Common/loss_utils.py:238-267 (the 'simplified, faster'
+    version the reference actually wires up): FPS 5% seeds, ball-query a
+    disk of area-fraction p, compare each in-disk point's NN spacing to the
+    ideal square-packing spacing, χ²-style normalize, scale by (100p)².
+    """
+    _, n, _ = pcd.shape
+    npoint = int(n * 0.05)
+    seeds = gather_point(pcd, farthest_point_sample(npoint, pcd))
+    loss = []
+    for p in percentages:
+        # guard: the reference assumes n·p >= 1 (n=1024 in training); the
+        # clamp keeps tiny clouds from dividing by zero
+        nsample = max(int(n * p), 1)
+        r = math.sqrt(p * radius)
+        disk_area = math.pi * (radius**2) * p / nsample
+        expect_len = math.sqrt(disk_area)
+        idx, _ = query_ball_point(r, nsample, pcd, seeds)
+        disks = group_point(pcd, idx)  # (b, npoint, nsample, 3)
+        b = disks.shape[0]
+        flat = disks.reshape(b * npoint, nsample, 3)
+        nn_sq, _ = knn(2, flat, flat)
+        spacing = jnp.sqrt(jnp.abs(nn_sq[:, :, 1:] + 1e-8))
+        spacing = jnp.mean(spacing, axis=-1)
+        dev = (spacing - expect_len) ** 2 / (expect_len + 1e-8)
+        mean = jnp.mean(dev) * (p * 100) ** 2
+        loss.append(mean)
+    return sum(loss) / len(percentages)
+
+
+# ---------------------------------------------------------------- GAN (LSGAN)
+
+
+def discriminator_loss(d_real: jnp.ndarray, d_fake: jnp.ndarray) -> jnp.ndarray:
+    """Parity: ref:Common/loss_utils.py:304-310."""
+    real_loss = jnp.mean((d_real - 1.0) ** 2)
+    fake_loss = jnp.mean(d_fake**2)
+    return 0.5 * (real_loss + fake_loss)
+
+
+def generator_loss(d_fake: jnp.ndarray) -> jnp.ndarray:
+    """Parity: ref:Common/loss_utils.py:312-314."""
+    return jnp.mean((d_fake - 1.0) ** 2)
+
+
+# ------------------------------------------------------------------ schedules
+
+
+def weight_fine_schedule(
+    epoch,
+    boundaries: Sequence[float] = (10.0, 20.0, 30.0),
+    values: Sequence[float] = (0.01, 0.1, 0.5, 1.0),
+) -> jnp.ndarray:
+    """Piecewise-constant fine-loss weight.
+
+    Parity: ref:DisPU/model.py:52-54 (tf.train.piecewise_constant:
+    value[i] on boundaries[i-1] < epoch <= boundaries[i]).
+    """
+    idx = jnp.searchsorted(
+        jnp.asarray(boundaries, jnp.float32),
+        jnp.asarray(epoch, jnp.float32),
+        side="left",
+    )
+    return jnp.asarray(values, jnp.float32)[idx]
+
+
+def lr_schedule(
+    epoch,
+    base_lr: float = 1e-3,
+    decay_step_epochs: int = 30,
+    decay_rate: float = 0.7,
+    clip: float = 1e-6,
+) -> jnp.ndarray:
+    """Staircase exponential decay over epochs, clipped below.
+
+    Parity: ref:DisPU/model.py:158-170.
+    """
+    factor = decay_rate ** jnp.floor(
+        jnp.asarray(epoch, jnp.float32) / decay_step_epochs
+    )
+    return jnp.maximum(base_lr * factor, clip)
+
+
+# -------------------------------------------------- composite training losses
+
+
+def pu_losses(
+    coarse: jnp.ndarray,
+    fine: jnp.ndarray,
+    gt: jnp.ndarray,
+    radius: jnp.ndarray,
+    weight_fine,
+    loss_cfg,
+) -> Tuple[jnp.ndarray, dict]:
+    """The CD-path total generator loss + metric dict.
+
+    Parity: ref:DisPU/model.py:74-89 — 1000·CD(coarse) + w_fine·1000·CD(fine)
+    + repulsion; the HD terms are tracked as metrics only.  The reference
+    also adds ``tf.losses.get_regularization_loss()`` which is zero in the
+    default configuration (no weight decay on the tf_util conv path).
+    """
+    coarse_cd = loss_cfg.coarse_cd_w * chamfer(coarse, gt, radius=radius)
+    fine_cd = loss_cfg.fine_cd_w * chamfer(fine, gt, radius=radius)
+    coarse_hd = loss_cfg.hd_w * hausdorff(coarse, gt, radius=radius)
+    fine_hd = loss_cfg.hd_w * hausdorff(fine, gt, radius=radius)
+    rep = (
+        loss_cfg.repulsion_w
+        * repulsion(
+            fine,
+            nsample=loss_cfg.repulsion_nsample,
+            radius=loss_cfg.repulsion_radius,
+            h=loss_cfg.repulsion_h,
+        )
+        if loss_cfg.use_repulsion
+        else 0.0
+    )
+    total = coarse_cd + weight_fine * fine_cd + rep
+    metrics = {
+        "coarse_cd": coarse_cd,
+        "fine_cd": fine_cd,
+        "coarse_hd": coarse_hd,
+        "fine_hd": fine_hd,
+        "repulsion": rep,
+        "weight_fine": weight_fine,
+    }
+    return total, metrics

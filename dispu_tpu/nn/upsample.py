@@ -1,0 +1,72 @@
+"""Feature duplication upsampling and coordinate regression heads."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dispu_tpu.nn.layers import PointConv
+from dispu_tpu.ops.geometry import gen_grid
+
+
+class DuplicateUp(nn.Module):
+    """r-fold feature duplication with a 2D grid code, then two MLP layers.
+
+    Output ordering is r-major: output point ``r·N + n`` carries the feature
+    of input point ``n`` and grid code ``r``.
+
+    Parity: ref:Common/ops.py:1152-1199 (``duplicate_up`` with the default
+    ``atten=False, edge=False`` used by the generator,
+    ref:DisPU/generator.py:52-53) — tile features r times, append the
+    ``gen_grid`` code, conv 256 → conv 128 (both ReLU, no BN).
+    """
+
+    up_ratio: int = 4
+    hidden: int = 256
+    out_features: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, n, _ = feature.shape
+        grid = gen_grid(self.up_ratio).astype(self.dtype)  # (r, 2)
+        # r-major: [g0]*n, [g1]*n, ... paired with [f0..fn-1] tiled r times
+        grid = jnp.repeat(grid, n, axis=0)  # (r*n, 2)
+        grid = jnp.broadcast_to(grid[None], (b,) + grid.shape)
+        net = jnp.tile(feature, (1, self.up_ratio, 1))  # (b, r*n, c)
+        net = jnp.concatenate([net, grid], axis=-1)
+        net = PointConv(self.hidden, dtype=self.dtype, name="conv1")(net, train)
+        net = PointConv(self.out_features, dtype=self.dtype, name="conv2")(
+            net, train
+        )
+        return net
+
+
+class CoordinateRegressor(nn.Module):
+    """Per-point MLP head regressing xyz (or a bounded xyz offset).
+
+    Parity: ref:Common/ops.py:1089-1110 — 256 → 64 → 3, no BN; when
+    ``offset_range`` is set the output is squashed to
+    ``sigmoid(x)·2·range − range`` (ref lines 1106-1108).
+    """
+
+    offset_range: Optional[float] = None
+    hidden0: int = 256
+    hidden1: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = PointConv(self.hidden0, dtype=self.dtype, name="fc_layer0")(
+            feature, train
+        )
+        x = PointConv(self.hidden1, dtype=self.dtype, name="fc_layer1")(x, train)
+        x = PointConv(3, activation=None, dtype=self.dtype, name="fc_layer2")(
+            x, train
+        )
+        if self.offset_range is not None:
+            r = self.offset_range
+            x = nn.sigmoid(x) * (2.0 * r) - r
+        return x

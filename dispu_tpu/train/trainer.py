@@ -1,0 +1,118 @@
+"""The experiment driver: training loop, checkpointing, logging.
+
+Replaces ref:DisPU/model.py (the Model class: build graph + train loop +
+saver) with a functional loop over the jitted train step.  One epoch is
+``len(dataset) // batch_size`` full batches (the reference dropped batch 0
+and the tail, ref:DisPU/model.py:239 + dataset.py:113-119 — fixed here).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from dispu_tpu.config import ExperimentConfig
+from dispu_tpu.data.dataset import PatchDataset
+from dispu_tpu.parallel.mesh import make_mesh, shard_batch
+from dispu_tpu.train.state import create_generator_state
+from dispu_tpu.train.steps import make_train_step
+from dispu_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from dispu_tpu.utils.logging import MetricsLogger, StepTimer, dump_args
+from dispu_tpu.utils.meters import AverageMeter
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        dataset: Optional[PatchDataset] = None,
+        use_mesh: bool = True,
+    ):
+        self.cfg = cfg
+        self.dataset = dataset or PatchDataset(
+            data_dir=cfg.data.data_dir,
+            num_point=cfg.data.num_point,
+            up_ratio=cfg.data.up_ratio,
+            random_input=cfg.data.random_input,
+        )
+        self.mesh = make_mesh() if (use_mesh and len(jax.devices()) > 1) else None
+        self.train_step = make_train_step(cfg, mesh=self.mesh)
+        self.logger = MetricsLogger(cfg.log_dir)
+        dump_args(cfg.log_dir, cfg)
+
+    def init_state(self, restore: bool = False):
+        state = create_generator_state(
+            jax.random.PRNGKey(self.cfg.train.seed),
+            self.cfg.generator,
+            self.cfg.train,
+        )
+        start_epoch = 0
+        if restore:
+            epoch, path = latest_checkpoint(self.cfg.log_dir)
+            if path is not None:
+                state = restore_checkpoint(path, state)
+                start_epoch = epoch
+        return state, start_epoch
+
+    def train(self, restore: bool = False, epochs: Optional[int] = None):
+        cfg = self.cfg
+        state, start_epoch = self.init_state(restore)
+        total_epochs = epochs if epochs is not None else cfg.train.training_epoch
+        key = jax.random.PRNGKey(cfg.train.seed + 1)
+        best_fine_cd = math.inf
+        timer = StepTimer()
+        step = int(state.step)
+
+        for epoch_i in range(start_epoch, total_epochs):
+            meters = {
+                k: AverageMeter()
+                for k in ("total", "coarse_cd", "fine_cd", "coarse_hd", "fine_hd")
+            }
+            t0 = time.time()
+            for gt, _inputs, radius in self.dataset.epoch(cfg.train.batch_size):
+                key, sub = jax.random.split(key)
+                if self.mesh is not None:
+                    gt, radius = shard_batch(self.mesh, gt, radius)
+                state, metrics = self.train_step(state, gt, radius, sub)
+                step += 1
+                timer.tick()
+                if step % cfg.train.steps_per_print == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["steps_per_sec"] = timer.steps_per_sec
+                    self.logger.scalars(step, host)
+                for k in meters:
+                    if k in metrics:
+                        meters[k].update(float(metrics[k]))
+
+            state = state.next_epoch()
+            epoch = epoch_i + 1
+            dur = time.time() - t0
+            self.logger.text(
+                "epoch %04d g_loss=%.9f coarse_cd=%.9f coarse_hd=%.9f "
+                "fine_cd=%.9f fine_hd=%.9f time=%.4f"
+                % (
+                    epoch,
+                    meters["total"].avg,
+                    meters["coarse_cd"].avg,
+                    meters["coarse_hd"].avg,
+                    meters["fine_cd"].avg,
+                    meters["fine_hd"].avg,
+                    dur / 60.0,
+                )
+            )
+            # save on schedule when fine-CD improved (ref:DisPU/model.py:224-227)
+            if epoch % cfg.train.epoch_per_save == 0 and (
+                meters["fine_cd"].avg < best_fine_cd
+            ):
+                best_fine_cd = meters["fine_cd"].avg
+                save_checkpoint(cfg.log_dir, state, epoch)
+
+        return state

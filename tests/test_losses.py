@@ -1,0 +1,127 @@
+"""Loss-function parity tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dispu_tpu import losses as L
+from dispu_tpu.config import LossConfig
+
+
+def np_repulsion(pred, nsample=20, radius=0.07, h=0.001):
+    """Oracle mirroring ref:Common/loss_utils.py:271-298 semantics."""
+    b, n, _ = pred.shape
+    vals = []
+    for i in range(b):
+        # ball query with index-order scan + first-hit padding
+        idx = np.zeros((n, nsample), np.int64)
+        for j in range(n):
+            c = 0
+            for k in range(n):
+                if c == nsample:
+                    break
+                d = max(np.sqrt(np.sum((pred[i, k] - pred[i, j]) ** 2)), 1e-20)
+                if d < radius:
+                    if c == 0:
+                        idx[j, :] = k
+                    idx[j, c] = k
+                    c += 1
+        grouped = pred[i][idx] - pred[i][:, None, :]
+        dists = np.sum(grouped**2, axis=-1)
+        top = np.sort(dists, axis=-1)[:, :5]  # 5 smallest
+        val = -top[:, 1:]
+        vals.append(np.maximum(0.0, h + val))
+    return float(np.mean(np.stack(vals)))
+
+
+class TestChamferLosses:
+    def test_chamfer_scale(self, rng):
+        a = jnp.asarray(rng.randn(2, 32, 3), jnp.float32)
+        b = jnp.asarray(rng.randn(2, 48, 3), jnp.float32)
+        r1 = float(L.chamfer(a, b, radius=1.0))
+        r2 = float(L.chamfer(a, b, radius=jnp.asarray([2.0, 2.0])))
+        np.testing.assert_allclose(r1 / 2, r2, rtol=1e-5)
+
+    def test_hausdorff_is_max_reduced(self, rng):
+        a = jnp.asarray(rng.randn(3, 32, 3), jnp.float32)
+        b = jnp.asarray(rng.randn(3, 32, 3), jnp.float32)
+        hd = float(L.hausdorff(a, b))
+        per = []
+        for i in range(3):
+            per.append(float(L.hausdorff(a[i : i + 1], b[i : i + 1])))
+        np.testing.assert_allclose(hd, max(per), rtol=1e-6)
+
+    def test_chamfer_threshold_drops_outliers(self, rng):
+        a = np.asarray(rng.randn(1, 32, 3), np.float32)
+        b = a.copy()
+        b[0, 0] += 100.0  # one huge outlier
+        with_t = float(L.chamfer(jnp.asarray(b), jnp.asarray(a), threshold=5.0))
+        without = float(L.chamfer(jnp.asarray(b), jnp.asarray(a)))
+        assert with_t < without
+
+
+class TestRepulsion:
+    def test_matches_oracle(self, rng):
+        pred = rng.rand(2, 64, 3).astype(np.float32) * 0.3
+        got = float(L.repulsion(jnp.asarray(pred)))
+        want = np_repulsion(pred)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_negligible_when_spread(self):
+        # points farther apart than sqrt(h) ≈ 0.0316 incur (almost) no
+        # penalty; the residual comes from the reference's own ball-query
+        # padding semantics (pad = first hit, which can be the point itself
+        # → d=0 → one h-sized term), reproduced here faithfully
+        grid = np.stack(
+            np.meshgrid(np.arange(4), np.arange(4), np.arange(4)), -1
+        ).reshape(1, -1, 3).astype(np.float32) * 0.05
+        assert float(L.repulsion(jnp.asarray(grid))) < 2e-4
+
+
+class TestSchedules:
+    def test_weight_fine(self):
+        # tf.piecewise_constant: boundaries [10,20,30] → [0.01,0.1,0.5,1.0]
+        for epoch, want in [(0, 0.01), (10, 0.01), (10.5, 0.1), (20, 0.1),
+                            (25, 0.5), (30, 0.5), (31, 1.0), (400, 1.0)]:
+            got = float(L.weight_fine_schedule(epoch))
+            np.testing.assert_allclose(got, want, rtol=1e-6, err_msg=str(epoch))
+
+    def test_lr_schedule(self):
+        np.testing.assert_allclose(float(L.lr_schedule(0)), 1e-3, rtol=1e-6)
+        np.testing.assert_allclose(float(L.lr_schedule(30)), 7e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(L.lr_schedule(65)), 1e-3 * 0.7**2,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(L.lr_schedule(10000)), 1e-6, rtol=1e-6)
+
+
+class TestGAN:
+    def test_lsgan_losses(self):
+        real = jnp.asarray([1.0, 1.0])
+        fake = jnp.asarray([0.0, 0.0])
+        assert float(L.discriminator_loss(real, fake)) == 0.0
+        assert float(L.generator_loss(fake)) == 1.0
+        assert float(L.generator_loss(jnp.asarray([1.0]))) == 0.0
+
+
+class TestUniform:
+    def test_uniform_prefers_even_spread(self, rng):
+        n = 1000
+        # even-ish spread on a sphere vs heavily clustered
+        v = rng.randn(n, 3).astype(np.float32)
+        sphere = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        clustered = sphere * 0.05
+        clustered[: n // 2] = sphere[: n // 2]  # half collapsed to center
+        u_even = float(L.uniform(jnp.asarray(sphere[None])))
+        u_clust = float(L.uniform(jnp.asarray(clustered[None])))
+        assert u_even < u_clust
+
+    def test_composite_pu_loss(self, rng):
+        coarse = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        fine = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        gt = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        radius = jnp.ones((2,))
+        total, metrics = L.pu_losses(coarse, fine, gt, radius, 0.5, LossConfig())
+        expect = (
+            metrics["coarse_cd"] + 0.5 * metrics["fine_cd"] + metrics["repulsion"]
+        )
+        np.testing.assert_allclose(float(total), float(expect), rtol=1e-6)

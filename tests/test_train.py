@@ -1,0 +1,133 @@
+"""Training-step and data-parallel mesh tests (virtual 8-device CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dispu_tpu.config import (
+    DataConfig,
+    ExperimentConfig,
+    GeneratorConfig,
+    LossConfig,
+    TrainConfig,
+)
+from dispu_tpu.data.dataset import PatchDataset, synthetic_patches
+from dispu_tpu.parallel.mesh import make_mesh, shard_batch
+from dispu_tpu.train.state import create_generator_state
+from dispu_tpu.train.steps import make_eval_step, make_train_step
+
+TINY_GEN = GeneratorConfig(num_points=32, knn=8, refine_nsample=8)
+TINY_CFG = ExperimentConfig(
+    generator=TINY_GEN,
+    train=TrainConfig(batch_size=8),
+    data=DataConfig(num_point=32),
+    loss=LossConfig(repulsion_nsample=8),
+)
+
+
+def _batch(rng, b=8, n=128):
+    gt = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+    radius = jnp.ones((b,), jnp.float32)
+    return gt, radius
+
+
+@pytest.fixture(scope="module")
+def tiny_state():
+    return create_generator_state(
+        jax.random.PRNGKey(0), TINY_GEN, TINY_CFG.train
+    )
+
+
+class TestTrainStep:
+    def test_single_step_runs_and_updates(self, rng, tiny_state):
+        step = make_train_step(TINY_CFG, donate=False)
+        gt, radius = _batch(rng)
+        new_state, metrics = step(tiny_state, gt, radius, jax.random.PRNGKey(1))
+        assert int(new_state.step) == 1
+        # params changed
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            tiny_state.params,
+            new_state.params,
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
+        assert np.isfinite(float(metrics["total"]))
+
+    def test_loss_decreases_over_steps(self, rng, tiny_state):
+        step = make_train_step(TINY_CFG, donate=False)
+        gt, radius = _batch(rng)
+        state = tiny_state
+        first = last = None
+        key = jax.random.PRNGKey(2)
+        for i in range(8):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, gt, radius, sub)
+            if first is None:
+                first = float(metrics["total"])
+            last = float(metrics["total"])
+        assert last < first
+
+    def test_eval_step(self, rng, tiny_state):
+        ev = make_eval_step(TINY_CFG)
+        gt, radius = _batch(rng)
+        inputs = gt[:, :32]
+        coarse, fine, metrics = ev(tiny_state.variables(), inputs, gt, radius)
+        assert fine.shape == (8, 128, 3)
+        assert np.isfinite(float(metrics["fine_cd"]))
+
+
+class TestDataParallel:
+    def test_mesh_has_8_devices(self):
+        mesh = make_mesh()
+        assert mesh.devices.size == 8
+
+    def test_sharded_train_step(self, rng, tiny_state):
+        mesh = make_mesh()
+        step = make_train_step(TINY_CFG, mesh=mesh, donate=False)
+        gt, radius = _batch(rng)
+        gt_s, radius_s = shard_batch(mesh, np.asarray(gt), np.asarray(radius))
+        state = jax.device_put(
+            tiny_state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        new_state, metrics = step(state, gt_s, radius_s, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["total"]))
+        assert int(new_state.step) == 1
+
+    def test_sharded_matches_single_device(self, rng, tiny_state):
+        # same inputs, same key → sharded and unsharded steps agree closely
+        gt, radius = _batch(rng)
+        key = jax.random.PRNGKey(3)
+
+        single = make_train_step(TINY_CFG, donate=False)
+        s1, m1 = single(tiny_state, gt, radius, key)
+
+        mesh = make_mesh()
+        sharded = make_train_step(TINY_CFG, mesh=mesh, donate=False)
+        state_r = jax.device_put(
+            tiny_state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        gt_s, radius_s = shard_batch(mesh, np.asarray(gt), np.asarray(radius))
+        s2, m2 = sharded(state_r, gt_s, radius_s, key)
+        np.testing.assert_allclose(
+            float(m1["total"]), float(m2["total"]), rtol=1e-4
+        )
+
+
+class TestDataset:
+    def test_synthetic_shapes(self):
+        inputs, gt, radius = synthetic_patches(6, 128)
+        assert gt.shape == (6, 128, 3)
+        # normalized to unit sphere
+        assert np.sqrt((gt**2).sum(-1)).max() <= 1.0 + 1e-5
+
+    def test_epoch_iteration_covers_all_batches(self):
+        ds = PatchDataset(
+            h5_path="/nonexistent", synthetic_patches_count=20, num_point=32
+        )
+        batches = list(ds.epoch(4))
+        assert len(batches) == 5
+        gt, inp, radius = batches[0]
+        assert gt.shape[0] == 4 and radius.shape == (4,)
