@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""CLI entry: train / test the Dis-PU TPU framework.
+
+Parity: ref:dis-pu.py + ref:DisPU/configs.py — same phases and flag names
+(the architecture constants that the reference hard-coded in the model are
+exposed through the config dataclasses; flags here cover the ones the
+reference actually read).
+
+Examples:
+  python dispu.py --phase train --data_dir data --log_dir log
+  python dispu.py --phase train --use_gan true
+  python dispu.py --phase test --log_dir log --test_data 'data/test/*.xyz' \
+      --final_ratio 4 --out_folder outputs
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from glob import glob
+
+
+def str2bool(x: str) -> bool:
+    return str(x).lower() in ("true", "1", "yes")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--phase", default="train", choices=["train", "test"])
+    p.add_argument("--log_dir", default="log")
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--test_data", default="data/test/*.xyz")
+    p.add_argument("--out_folder", default=None)
+    p.add_argument("--augment", type=str2bool, default=True)
+    p.add_argument("--restore", action="store_true")
+    p.add_argument("--training_epoch", type=int, default=401)
+    p.add_argument("--batch_size", type=int, default=28)
+    p.add_argument("--random", type=str2bool, default=True)
+    p.add_argument("--jitter_sigma", type=float, default=0.01)
+    p.add_argument("--jitter_max", type=float, default=0.03)
+    p.add_argument("--up_ratio", type=int, default=4)
+    p.add_argument("--final_ratio", type=int, default=4, help="[4,16]")
+    p.add_argument("--patch_num_point", type=int, default=256)
+    p.add_argument("--patch_num_ratio", type=int, default=3)
+    p.add_argument("--base_lr_d", type=float, default=1e-4)
+    p.add_argument("--base_lr_g", type=float, default=1e-3)
+    p.add_argument("--beta", type=float, default=0.9)
+    p.add_argument("--lr_decay", type=str2bool, default=True)
+    p.add_argument("--decay_step", type=int, default=30)
+    p.add_argument("--lr_decay_rate", type=float, default=0.7)
+    p.add_argument("--lr_clip", type=float, default=1e-6)
+    p.add_argument("--steps_per_print", type=int, default=50)
+    p.add_argument("--epoch_per_save", type=int, default=20)
+    p.add_argument("--use_repulse", type=str2bool, default=True)
+    p.add_argument("--repulsion_w", type=float, default=1.0)
+    p.add_argument("--use_gan", type=str2bool, default=False)
+    p.add_argument("--patch_batch", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--synthetic", type=int, default=0,
+        help="train on N procedural patches when no h5 dataset is present",
+    )
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override training_epoch (smoke runs)")
+    return p.parse_args()
+
+
+def build_config(args):
+    from dispu_tpu.config import (
+        DataConfig,
+        ExperimentConfig,
+        GeneratorConfig,
+        InferenceConfig,
+        LossConfig,
+        TrainConfig,
+    )
+
+    return ExperimentConfig(
+        generator=GeneratorConfig(
+            up_ratio=args.up_ratio, num_points=args.patch_num_point
+        ),
+        loss=LossConfig(
+            use_repulsion=args.use_repulse, repulsion_w=args.repulsion_w
+        ),
+        train=TrainConfig(
+            batch_size=args.batch_size,
+            training_epoch=args.training_epoch,
+            base_lr_g=args.base_lr_g,
+            base_lr_d=args.base_lr_d,
+            beta1=args.beta,
+            lr_decay=args.lr_decay,
+            decay_step_epochs=args.decay_step,
+            lr_decay_rate=args.lr_decay_rate,
+            lr_clip=args.lr_clip,
+            epoch_per_save=args.epoch_per_save,
+            steps_per_print=args.steps_per_print,
+            seed=args.seed,
+        ),
+        data=DataConfig(
+            data_dir=args.data_dir,
+            num_point=args.patch_num_point,
+            up_ratio=args.up_ratio,
+            random_input=args.random,
+            augment=args.augment,
+            jitter_sigma=args.jitter_sigma,
+            jitter_max=args.jitter_max,
+        ),
+        inference=InferenceConfig(
+            final_ratio=args.final_ratio,
+            patch_num_point=args.patch_num_point,
+            patch_num_ratio=args.patch_num_ratio,
+            patch_batch=args.patch_batch,
+        ),
+        use_gan=args.use_gan,
+        log_dir=args.log_dir,
+    )
+
+
+def run_train(args, cfg):
+    dataset = None
+    if args.synthetic:
+        from dispu_tpu.data.dataset import PatchDataset
+
+        dataset = PatchDataset(
+            h5_path=cfg.data.h5_path,
+            num_point=cfg.data.num_point,
+            up_ratio=cfg.data.up_ratio,
+            synthetic_patches_count=args.synthetic,
+            seed=args.seed,
+        )
+    if cfg.use_gan:
+        from dispu_tpu.train.gan_trainer import GANTrainer
+
+        GANTrainer(cfg, dataset=dataset).train(
+            restore=args.restore, epochs=args.epochs
+        )
+    else:
+        from dispu_tpu.train.trainer import Trainer
+
+        Trainer(cfg, dataset=dataset).train(
+            restore=args.restore, epochs=args.epochs
+        )
+
+
+def run_test(args, cfg):
+    """Whole-cloud upsampling over the test glob.
+
+    Parity: ref:DisPU/model.py:343-381 — restore newest checkpoint, per
+    file: load, normalize, patch-predict, merge, FPS, save '<name>_X{r}.xyz'.
+    """
+    import jax
+
+    from dispu_tpu.evaluation.meshio import read_xyz, write_xyz
+    from dispu_tpu.inference import PatchUpsampler
+    from dispu_tpu.train.state import create_generator_state
+    from dispu_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
+
+    epoch, path = latest_checkpoint(cfg.log_dir)
+    if path is None:
+        raise SystemExit(f"no checkpoint found in {cfg.log_dir}")
+    logging.info("restoring %s (epoch %d)", path, epoch)
+    template = create_generator_state(
+        jax.random.PRNGKey(0), cfg.generator, cfg.train
+    )
+    state = restore_checkpoint(path, template)
+
+    out_folder = args.out_folder or os.path.join(cfg.log_dir, "outputs")
+    os.makedirs(out_folder, exist_ok=True)
+    upsampler = PatchUpsampler(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        gen_cfg=cfg.generator,
+        inf_cfg=cfg.inference,
+    )
+    for point_path in sorted(glob(args.test_data)):
+        logging.info("%s", point_path)
+        pc = read_xyz(point_path)[:, :3]
+        out = upsampler.upsample(pc)
+        name = os.path.basename(point_path)[:-4]
+        out_path = os.path.join(
+            out_folder, f"{name}_X{cfg.inference.final_ratio}.xyz"
+        )
+        write_xyz(out_path, out)
+        logging.info("wrote %s (%d points)", out_path, len(out))
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args()
+    cfg = build_config(args)
+    if args.phase == "train":
+        run_train(args, cfg)
+    else:
+        run_test(args, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,8 @@ class TrainConfig:
     lr_clip: float = 1e-6
     epoch_per_save: int = 20
     steps_per_print: int = 50
+    visualize: bool = False      # 'visulize' flag, ref:configs.py:36
+    steps_per_visu: int = 100
     gen_update: int = 2          # configs.py default (GAN G steps per D step)
     seed: int = 0
     # TPU-specific

@@ -117,9 +117,9 @@ def uniform(
     seeds = gather_point(pcd, farthest_point_sample(npoint, pcd))
     loss = []
     for p in percentages:
-        # guard: the reference assumes n·p >= 1 (n=1024 in training); the
-        # clamp keeps tiny clouds from dividing by zero
-        nsample = max(int(n * p), 1)
+        # guard: the reference assumes n·p >= 4 (n=1024 in training); the
+        # clamp keeps tiny clouds from dividing by zero / top_k(2)-of-1
+        nsample = max(int(n * p), 2)
         r = math.sqrt(p * radius)
         disk_area = math.pi * (radius**2) * p / nsample
         expect_len = math.sqrt(disk_area)

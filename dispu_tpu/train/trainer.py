@@ -9,11 +9,18 @@ and the tail, ref:DisPU/model.py:239 + dataset.py:113-119 — fixed here).
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Optional
 
 import jax
 import numpy as np
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x))
 
 from dispu_tpu.config import ExperimentConfig
 from dispu_tpu.data.dataset import PatchDataset
@@ -46,7 +53,50 @@ class Trainer:
         self.mesh = make_mesh() if (use_mesh and len(jax.devices()) > 1) else None
         self.train_step = make_train_step(cfg, mesh=self.mesh)
         self.logger = MetricsLogger(cfg.log_dir)
+        self._eval_step = None  # built lazily for visualization
         dump_args(cfg.log_dir, cfg)
+
+    def _visualize(self, state, gt, radius, step: int, epoch: int):
+        """Periodic 3-view renders of input/coarse/fine/gt.
+
+        Parity: ref:DisPU/model.py:265-292 (image summary every
+        steps_per_print, matplotlib plot every steps_per_visu when enabled).
+        """
+        import numpy as np
+
+        from dispu_tpu.data.augment import sample_nonuniform_inputs
+        from dispu_tpu.train.steps import make_eval_step
+        from dispu_tpu.utils.visu import plot_pcd_three_views, point_cloud_three_views
+
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.cfg)
+        key = jax.random.PRNGKey(step)
+        inputs = sample_nonuniform_inputs(
+            key, jnp_asarray(gt), self.cfg.generator.num_points
+        )
+        coarse, fine, _ = self._eval_step(
+            state.variables(), inputs, jnp_asarray(gt), jnp_asarray(radius)
+        )
+        pcds = [
+            np.asarray(inputs[0]),
+            np.asarray(coarse[0]),
+            np.asarray(fine[0]),
+            np.asarray(gt[0]),
+        ]
+        titles = ["input_x", "coarse", "fine", "gt"]
+        if self.logger._tb is not None:
+            img = np.concatenate(
+                [point_cloud_three_views(p, canvas_size=250) for p in pcds],
+                axis=0,
+            )
+            self.logger._tb.add_image(
+                "Upsampling", img[None], step, dataformats="CHW"
+            )
+        plots = os.path.join(self.cfg.log_dir, "plots")
+        os.makedirs(plots, exist_ok=True)
+        plot_pcd_three_views(
+            os.path.join(plots, f"epoch_{epoch}_step_{step}.png"), pcds, titles
+        )
 
     def init_state(self, restore: bool = False):
         state = create_generator_state(
@@ -88,6 +138,8 @@ class Trainer:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["steps_per_sec"] = timer.steps_per_sec
                     self.logger.scalars(step, host)
+                if cfg.train.visualize and step % cfg.train.steps_per_visu == 0:
+                    self._visualize(state, gt, radius, step, epoch_i)
                 for k in meters:
                     if k in metrics:
                         meters[k].update(float(metrics[k]))
