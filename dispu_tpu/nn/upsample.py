@@ -44,6 +44,74 @@ class DuplicateUp(nn.Module):
         return net
 
 
+class UpBlock(nn.Module):
+    """PU-GAN-style up block: grid duplication + self-attention + MLPs.
+
+    Parity: ref:Common/ops.py:1325-1349 (kept for op-library parity; the
+    default Dis-PU generator uses ``DuplicateUp`` without attention).
+    """
+
+    up_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        from dispu_tpu.nn.attention import AttentionUnit
+
+        b, n, _ = feature.shape
+        grid = gen_grid(self.up_ratio).astype(self.dtype)
+        grid = jnp.repeat(grid, n, axis=0)
+        grid = jnp.broadcast_to(grid[None], (b,) + grid.shape)
+        net = jnp.tile(feature, (1, self.up_ratio, 1))
+        net = jnp.concatenate([net, grid], axis=-1)
+        net = AttentionUnit(dtype=self.dtype, name="attention")(net, train)
+        net = PointConv(256, dtype=self.dtype, name="conv1")(net, train)
+        net = PointConv(128, dtype=self.dtype, name="conv2")(net, train)
+        return net
+
+
+class DownBlock(nn.Module):
+    """PU-GAN-style down block: fold the r duplicates back into one point.
+
+    Parity: ref:Common/ops.py:1351-1366 — reshape (b, r·n, c) → (b, n, r·c)
+    respecting the r-major duplication order, then two dense layers (the
+    reference's [1, r] conv over the fold is exactly a dense over the
+    flattened (r, c) window).
+    """
+
+    up_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, rn, c = feature.shape
+        n = rn // self.up_ratio
+        net = feature.reshape(b, self.up_ratio, n, c)
+        net = jnp.swapaxes(net, 1, 2).reshape(b, n, self.up_ratio * c)
+        net = PointConv(256, dtype=self.dtype, name="conv1")(net, train)
+        net = PointConv(128, dtype=self.dtype, name="conv2")(net, train)
+        return net
+
+
+class UpProjectionUnit(nn.Module):
+    """Back-projection upsampler: up, down, correct, up again.
+
+    Parity: ref:Common/ops.py:1572-1586 — H2 = up(L) + up(down(up(L)) − L).
+    """
+
+    up_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        l = PointConv(128, dtype=self.dtype, name="conv0")(feature, train)
+        h0 = UpBlock(self.up_ratio, dtype=self.dtype, name="up_0")(l, train)
+        l0 = DownBlock(self.up_ratio, dtype=self.dtype, name="down_0")(h0, train)
+        e0 = l0 - l
+        h1 = UpBlock(self.up_ratio, dtype=self.dtype, name="up_1")(e0, train)
+        return h0 + h1
+
+
 class CoordinateRegressor(nn.Module):
     """Per-point MLP head regressing xyz (or a bounded xyz offset).
 

@@ -16,13 +16,16 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
+def farthest_point_sample(
+    npoint: int, xyz: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
     """Iterative farthest-point sampling.
 
     Args:
       npoint: number of points to select (static).
       xyz: (b, n, 3) input points.
+      impl: 'auto' (Pallas kernel on TPU, XLA loop elsewhere), 'xla', or
+        'pallas'.
 
     Returns:
       (b, npoint) int32 indices; the first selected index is always 0.
@@ -31,7 +34,21 @@ def farthest_point_sample(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
     0 (line 114-116), keeps a per-point running min squared distance
     (init 1e38), and at each step picks the argmax of the updated vector.
     Gradient: none (ref:tf_ops/sampling/tf_sampling.py:57 NoGradient).
+    The two implementations agree exactly except where f32 near-ties make
+    the greedy argmax order ambiguous (both orders are valid FPS results;
+    the CUDA reference has its own tie order too).
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    if impl == "pallas":
+        from dispu_tpu.ops.pallas_kernels import fps_pallas
+
+        return fps_pallas(npoint, xyz)
+    return _fps_xla(npoint, xyz)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fps_xla(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
     xyz = jnp.asarray(xyz, jnp.float32)
     b, n, _ = xyz.shape
 

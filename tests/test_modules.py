@@ -1,0 +1,140 @@
+"""Tests for the extended module zoo: PointNet++, GCN lib, up/down blocks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dispu_tpu.nn.gcn import (
+    EdgeConvLayer,
+    GCNBackbone,
+    GINConvLayer,
+    GraphSAGEConvLayer,
+    MaxRelativeConvLayer,
+    dilated_knn_graph,
+    knn_graph,
+)
+from dispu_tpu.nn.pointnet import (
+    PointNetFPModule,
+    PointNetSAModule,
+    PointNetSAModuleMSG,
+    sample_and_group,
+    sample_and_group_all,
+)
+from dispu_tpu.nn.upsample import DownBlock, UpBlock, UpProjectionUnit
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.RandomState(0)
+    xyz = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+    feat = jnp.asarray(rng.randn(2, 64, 16), jnp.float32)
+    return xyz, feat
+
+
+class TestPointNet:
+    def test_sample_and_group_shapes(self, cloud):
+        xyz, feat = cloud
+        new_xyz, new_points, idx, grouped = sample_and_group(
+            16, 0.4, 8, xyz, feat
+        )
+        assert new_xyz.shape == (2, 16, 3)
+        assert new_points.shape == (2, 16, 8, 19)  # 3 + 16
+        assert grouped.shape == (2, 16, 8, 3)
+
+    def test_group_all(self, cloud):
+        xyz, feat = cloud
+        new_xyz, new_points, idx, grouped = sample_and_group_all(xyz, feat)
+        assert new_xyz.shape == (2, 1, 3)
+        assert new_points.shape == (2, 1, 64, 19)
+
+    def test_sa_module_poolings(self, cloud):
+        xyz, feat = cloud
+        for pooling in ("max", "avg", "weighted_avg", "max_and_avg"):
+            mod = PointNetSAModule(
+                npoint=16, radius=0.4, nsample=8, mlp=(32, 64), pooling=pooling
+            )
+            v = mod.init(jax.random.PRNGKey(0), xyz, feat)
+            new_xyz, new_points, _ = mod.apply(v, xyz, feat)
+            want_c = 128 if pooling == "max_and_avg" else 64
+            assert new_points.shape == (2, 16, want_c), pooling
+
+    def test_msg_module(self, cloud):
+        xyz, feat = cloud
+        mod = PointNetSAModuleMSG(
+            npoint=16,
+            radius_list=(0.2, 0.4),
+            nsample_list=(4, 8),
+            mlp_list=((16, 32), (16, 48)),
+        )
+        v = mod.init(jax.random.PRNGKey(0), xyz, feat)
+        new_xyz, out = mod.apply(v, xyz, feat)
+        assert out.shape == (2, 16, 80)  # 32 + 48
+
+    def test_fp_module_interpolates(self, cloud):
+        xyz, feat = cloud
+        xyz2 = xyz[:, :16]
+        feat2 = feat[:, :16]
+        mod = PointNetFPModule(mlp=(32,))
+        v = mod.init(jax.random.PRNGKey(0), xyz, xyz2, feat, feat2)
+        out = mod.apply(v, xyz, xyz2, feat, feat2)
+        assert out.shape == (2, 64, 32)
+
+
+class TestGCN:
+    def test_knn_graph_self_first(self, cloud):
+        xyz, _ = cloud
+        idx = knn_graph(xyz, 8)
+        np.testing.assert_array_equal(
+            np.asarray(idx)[..., 0], np.tile(np.arange(64), (2, 1))
+        )
+
+    def test_dilated_graph(self, cloud):
+        xyz, _ = cloud
+        idx = dilated_knn_graph(xyz, 4, dilation=2)
+        assert idx.shape == (2, 64, 4)
+        # dilated picks every 2nd of the 8-NN
+        full = knn_graph(xyz, 8)
+        np.testing.assert_array_equal(
+            np.asarray(idx), np.asarray(full)[..., ::2]
+        )
+
+    @pytest.mark.parametrize(
+        "layer_cls", [EdgeConvLayer, MaxRelativeConvLayer,
+                      GraphSAGEConvLayer, GINConvLayer]
+    )
+    def test_vertex_layers(self, cloud, layer_cls):
+        _, feat = cloud
+        idx = knn_graph(feat, 8)
+        mod = layer_cls(features=(32,))
+        v = mod.init(jax.random.PRNGKey(0), feat, idx)
+        out = mod.apply(v, feat, idx)
+        assert out.shape == (2, 64, 32)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_backbone_dense_concat(self, cloud):
+        xyz, _ = cloud
+        mod = GCNBackbone(depth=2, growth_rate=8, k=4)
+        v = mod.init(jax.random.PRNGKey(0), xyz)
+        out = mod.apply(v, xyz)
+        assert out.shape == (2, 64, 3 + 8 + 8)
+
+
+class TestUpDownBlocks:
+    def test_up_then_down_restores_count(self, cloud):
+        _, feat = cloud
+        up = UpBlock(up_ratio=4)
+        vu = up.init(jax.random.PRNGKey(0), feat)
+        h = up.apply(vu, feat)
+        assert h.shape == (2, 256, 128)
+        down = DownBlock(up_ratio=4)
+        vd = down.init(jax.random.PRNGKey(0), h)
+        l = down.apply(vd, h)
+        assert l.shape == (2, 64, 128)
+
+    def test_up_projection_unit(self, cloud):
+        _, feat = cloud
+        mod = UpProjectionUnit(up_ratio=4)
+        v = mod.init(jax.random.PRNGKey(0), feat)
+        out = mod.apply(v, feat)
+        assert out.shape == (2, 256, 128)
