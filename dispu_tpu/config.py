@@ -108,6 +108,8 @@ class TrainConfig:
     steps_per_print: int = 50
     visualize: bool = False      # 'visulize' flag, ref:configs.py:36
     steps_per_visu: int = 100
+    profile: bool = False        # jax.profiler trace of the first epoch
+    backup_sources: bool = True  # self-copy sources to log_dir (ref:model.py:56-65)
     gen_update: int = 2          # configs.py default (GAN G steps per D step)
     seed: int = 0
     # TPU-specific

@@ -82,3 +82,65 @@ def augment_batch(
 
     scale = jax.random.uniform(ks, (b, 1, 1), minval=scale_low, maxval=scale_high)
     return inputs * scale, gt * scale
+
+
+def shift_point_cloud(
+    key: jax.Array,
+    batch: jnp.ndarray,
+    gt: Optional[jnp.ndarray] = None,
+    shift_range: float = 0.3,
+):
+    """Per-cloud random translation (ref:Common/point_operation.py:88-104)."""
+    b = batch.shape[0]
+    shifts = jax.random.uniform(
+        key, (b, 1, 3), minval=-shift_range, maxval=shift_range
+    )
+    if gt is None:
+        return batch + shifts
+    return batch + shifts, gt + shifts
+
+
+def rotate_perturbation(
+    key: jax.Array,
+    batch: jnp.ndarray,
+    angle_sigma: float = 0.03,
+    angle_clip: float = 0.09,
+) -> jnp.ndarray:
+    """Small random full-3D rotations (ref:Common/point_operation.py:126-151)."""
+    b = batch.shape[0]
+    angles = jnp.clip(
+        angle_sigma * jax.random.normal(key, (b, 3)), -angle_clip, angle_clip
+    )
+    cx, sx = jnp.cos(angles[:, 0]), jnp.sin(angles[:, 0])
+    cy, sy = jnp.cos(angles[:, 1]), jnp.sin(angles[:, 1])
+    cz, sz = jnp.cos(angles[:, 2]), jnp.sin(angles[:, 2])
+    z = jnp.zeros_like(cx)
+    o = jnp.ones_like(cx)
+    rx = jnp.stack([o, z, z, z, cx, -sx, z, sx, cx], -1).reshape(b, 3, 3)
+    ry = jnp.stack([cy, z, sy, z, o, z, -sy, z, cy], -1).reshape(b, 3, 3)
+    rz = jnp.stack([cz, -sz, z, sz, cz, z, z, z, o], -1).reshape(b, 3, 3)
+    rot = jnp.einsum("bij,bjk,bkl->bil", rz, ry, rx)
+    return jnp.einsum("bnc,bcd->bnd", batch, rot)
+
+
+def random_point_dropout(
+    key: jax.Array, batch: jnp.ndarray, max_dropout_ratio: float = 0.875
+) -> jnp.ndarray:
+    """Randomly collapse a fraction of points onto the first point (keeps
+    shapes static).  Parity: ref:Common/point_operation.py 'random_point
+    _dropout' — dropped points are replaced by point 0.
+    """
+    b, n, _ = batch.shape
+    k_ratio, k_mask = jax.random.split(key)
+    ratio = jax.random.uniform(k_ratio, (b, 1)) * max_dropout_ratio
+    drop = jax.random.uniform(k_mask, (b, n)) <= ratio
+    first = batch[:, :1, :]
+    return jnp.where(drop[..., None], first, batch)
+
+
+def shuffle_points(key: jax.Array, batch: jnp.ndarray) -> jnp.ndarray:
+    """Shared random permutation of the point axis
+    (ref:Common/point_operation.py:20-29)."""
+    n = batch.shape[1]
+    perm = jax.random.permutation(key, n)
+    return batch[:, perm, :]

@@ -40,6 +40,82 @@ def read_off(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return verts, np.asarray(faces, np.int32)
 
 
+def read_ply(path: str) -> np.ndarray:
+    """Read vertex positions from an ASCII or binary_little_endian PLY.
+
+    Self-contained (the environment has no plyfile/open3d); covers the
+    point-cloud PLYs the reference tooling reads/writes
+    (ref:Common/pc_util.py:276-459).
+    """
+    with open(path, "rb") as f:
+        header = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            header.append(line)
+            if line == "end_header":
+                break
+        fmt = next(l.split()[1] for l in header if l.startswith("format"))
+        counts = {}
+        props = []
+        current = None
+        for l in header:
+            t = l.split()
+            if t and t[0] == "element":
+                current = t[1]
+                counts[current] = int(t[2])
+                props.append((current, []))
+            elif t and t[0] == "property" and current is not None:
+                if t[1] == "list":
+                    props[-1][1].append(("list", t[2], t[3], t[4]))
+                else:
+                    props[-1][1].append((t[1], t[2]))
+        nv = counts.get("vertex", 0)
+        vprops = dict(props).get("vertex", [])
+        names = [p[-1] for p in vprops]
+        np_types = {
+            "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+            "uchar": "u1", "uint8": "u1", "char": "i1", "int8": "i1",
+            "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+            "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+        }
+        if fmt == "ascii":
+            rows = []
+            for _ in range(nv):
+                rows.append([float(x) for x in f.readline().split()])
+            data = np.asarray(rows, np.float64)
+        else:
+            dtype = np.dtype(
+                [(n, "<" + np_types[t]) for (t, n) in vprops]
+            )
+            raw = np.frombuffer(f.read(nv * dtype.itemsize), dtype=dtype)
+            data = np.stack(
+                [raw[n].astype(np.float64) for n in names], axis=-1
+            )
+        cols = [names.index(c) for c in ("x", "y", "z")]
+        return data[:, cols].astype(np.float32)
+
+
+def write_ply(path: str, points: np.ndarray) -> None:
+    """Write a point cloud as ASCII PLY (vertex x y z)."""
+    points = np.asarray(points, np.float32)
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\nelement vertex %d\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n" % len(points)
+        )
+        for p in points:
+            f.write("%.6f %.6f %.6f\n" % (p[0], p[1], p[2]))
+
+
+def load_points(path: str) -> np.ndarray:
+    """Load a point cloud by extension (.xyz/.txt/.ply) —
+    ref:Common/pc_util.py ``load`` dispatcher equivalent."""
+    if path.endswith(".ply"):
+        return read_ply(path)
+    return read_xyz(path)[:, :3]
+
+
 def read_xyz(path: str) -> np.ndarray:
     """Whitespace-separated point file → (n, >=3) float32."""
     return np.loadtxt(path, dtype=np.float32)

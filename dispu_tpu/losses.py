@@ -136,6 +136,89 @@ def uniform(
     return sum(loss) / len(percentages)
 
 
+def uniform_exact(
+    pcd,
+    percentages: Sequence[float] = (0.002, 0.004, 0.006, 0.008, 0.010, 0.012, 0.015),
+    radius: float = 1.0,
+):
+    """Exact disk-uniformity statistic (host/numpy; the 'whole, slower'
+    variant).
+
+    Parity: ref:Common/loss_utils.py:178-231 (``py_uniform_loss`` +
+    ``get_uniform_loss2``): per disk, coverage = (count − nsample)²/nsample;
+    below 5 members only coverage counts; otherwise multiply by the
+    χ²-normalized NN-spacing deviation from the hexagon ideal.  A metric,
+    not a training loss (no gradient).
+    """
+    import numpy as np
+
+    pcd = np.asarray(pcd)
+    b, n, _ = pcd.shape
+    npoint = int(n * 0.05)
+    seeds_idx = np.asarray(farthest_point_sample(npoint, jnp.asarray(pcd)))
+    total = []
+    for p in percentages:
+        nsample = max(int(n * p), 1)
+        r = math.sqrt(p * radius)
+        idx, cnt = query_ball_point(r, nsample, jnp.asarray(pcd),
+                                    jnp.take_along_axis(jnp.asarray(pcd), jnp.asarray(seeds_idx)[..., None], axis=1))
+        idx, cnt = np.asarray(idx), np.asarray(cnt)
+        vals = []
+        for i in range(b):
+            for j in range(npoint):
+                number = int(cnt[i, j])
+                coverage = (number - nsample) ** 2 / nsample
+                if number < 5:
+                    vals.append(coverage)
+                    continue
+                disk = pcd[i][idx[i, j, :number]]
+                dd = np.sum((disk[:, None] - disk[None]) ** 2, -1)
+                np.fill_diagonal(dd, np.inf)
+                shortest = np.sqrt(dd.min(axis=1))
+                disk_area = math.pi * (r**2) / disk.shape[0]
+                expect_d = math.sqrt(2 * disk_area / 1.732)  # hexagon
+                dis = (shortest - expect_d) ** 2 / expect_d
+                vals.append(coverage * float(np.mean(dis)))
+        total.append(float(np.mean(vals)) * math.sqrt(p * 100))
+    return sum(total) / len(percentages)
+
+
+def geometric_losses(pred: jnp.ndarray, gt: jnp.ndarray, nnk: int = 8):
+    """Shape / density / direction triplet.
+
+    Parity: ref:Common/loss_utils.py:86-130 (``get_Geometric_Loss`` —
+    unused by the default model, kept for capability parity): shape =
+    symmetric mean min euclidean distance; density = mean |kNN-distance
+    spectrum difference|; direction = normalized kNN-spectrum correlation.
+    """
+    from dispu_tpu.ops.geometry import pairwise_sq_dist
+
+    d = jnp.sqrt(jnp.maximum(pairwise_sq_dist(gt, pred), 1e-12))
+    shape = jnp.mean(jnp.min(d, axis=2)) + jnp.mean(jnp.min(d, axis=1))
+
+    d2 = jnp.sqrt(jnp.maximum(pairwise_sq_dist(gt, gt), 1e-12))
+    k1, _ = jax.lax.top_k(-d, nnk)
+    k2, _ = jax.lax.top_k(-d2, nnk)
+    density = jnp.mean(jnp.abs(k1 - k2))
+
+    gt_off = k2 / (jnp.sum(k2**2, keepdims=True) + 1e-8)
+    pt_off = k1 / (jnp.sum(k1**2, keepdims=True) + 1e-8)
+    direction = jnp.sum(gt_off * pt_off)
+    return shape, density, direction
+
+
+def l1_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Parity: ref:Common/loss_utils.py:333-336."""
+    return jnp.mean(jnp.abs(x - y))
+
+
+def classify_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Sparse softmax cross entropy (ref:Common/loss_utils.py:40-43)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return -jnp.mean(picked)
+
+
 # ---------------------------------------------------------------- GAN (LSGAN)
 
 

@@ -27,16 +27,24 @@ from dispu_tpu.ops.sampling import farthest_point_sample, gather_point
 _leaky = functools.partial(nn.leaky_relu, negative_slope=0.2)  # tf default
 
 
-class PatchDiscriminator(nn.Module):
-    """(pred, gt) → (b, num_seeds, 2, 1) patch values [real, fake]."""
+class PairedMSGModule(nn.Module):
+    """Multi-scale paired (gt, pred) set abstraction around shared seeds.
+
+    ``fused=False`` reproduces ref:Common/tf_util2.py:207-254
+    (``pointnet_sa_module_msg3``): per-scale output is the (b, np, 2, c)
+    stack of separately max-pooled gt/pred halves.
+    ``fused=True`` reproduces msg2 (ref:tf_util2.py:154-204): an extra
+    fusion layer collapses the real/fake pair into one (b, np, c) feature.
+    """
 
     cfg: DiscriminatorConfig = DiscriminatorConfig()
+    fused: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
-        self, pred: jnp.ndarray, gt: jnp.ndarray, train: bool = False
-    ) -> jnp.ndarray:
+        self, gt: jnp.ndarray, pred: jnp.ndarray, train: bool = False
+    ):
         cfg = self.cfg
         npoint = gt.shape[1] // cfg.downsample_ratio
         seeds = gather_point(gt, farthest_point_sample(npoint, gt))
@@ -65,9 +73,32 @@ class PatchDiscriminator(nn.Module):
                  jnp.max(g[:, :, nsample:], axis=2)],
                 axis=2,
             )  # (b, np, 2, c) — [gt-pool, pred-pool]
-            scale_feats.append(pooled)
+            if self.fused:
+                b_, np_, _, c_ = pooled.shape
+                fusedf = PointConv(
+                    mlps[-1], activation=_leaky, dtype=self.dtype,
+                    name=f"conv_fusion_{i}",
+                )(pooled.reshape(b_, np_, 2 * c_), train)
+                scale_feats.append(fusedf)
+            else:
+                scale_feats.append(pooled)
 
-        feats = jnp.concatenate(scale_feats, axis=-1)
+        return seeds, jnp.concatenate(scale_feats, axis=-1)
+
+
+class PatchDiscriminator(nn.Module):
+    """(pred, gt) → (b, num_seeds, 2, 1) patch values [real, fake]."""
+
+    cfg: DiscriminatorConfig = DiscriminatorConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, pred: jnp.ndarray, gt: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        _, feats = PairedMSGModule(
+            cfg=self.cfg, fused=False, dtype=self.dtype, name="layer1"
+        )(gt, pred, train)
         values = PointConv(
             1, activation=None, dtype=self.dtype, name="patch"
         )(feats, train)

@@ -51,8 +51,12 @@ def query_ball_point(
     d = pairwise_sq_dist(new_xyz, xyz)  # (b, m, n)
     hit = d < (radius**2)[:, None, None]
     key = jnp.where(hit, jnp.arange(n, dtype=jnp.int32)[None, None, :], n)
-    neg_small, _ = jax.lax.top_k(-key, nsample)  # smallest keys first
-    slots = -neg_small  # (b, m, nsample), ascending hit indices, n = no hit
+    k_eff = min(nsample, n)  # nsample may exceed the cloud size
+    neg_small, _ = jax.lax.top_k(-key, k_eff)  # smallest keys first
+    slots = -neg_small  # (b, m, k_eff), ascending hit indices, n = no hit
+    if k_eff < nsample:
+        pad_cols = jnp.full(slots.shape[:-1] + (nsample - k_eff,), n, slots.dtype)
+        slots = jnp.concatenate([slots, pad_cols], axis=-1)
     valid = slots < n
     first = slots[..., :1]
     any_hit = valid[..., :1]
@@ -60,6 +64,17 @@ def query_ball_point(
     idx = jnp.where(valid, slots, pad).astype(jnp.int32)
     pts_cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)
     return idx, pts_cnt
+
+
+def selection_sort(dist: jnp.ndarray, k: int):
+    """k smallest entries (values + indices) of each distance-matrix row.
+
+    Parity: ref:tf_ops/grouping/tf_grouping_g.cu:80-123 (``selection_sort``
+    — unused by the reference model; one ``top_k`` here).  Returns
+    (dist_out, idx) of shape (..., k), ascending.
+    """
+    neg, idx = jax.lax.top_k(-dist, k)
+    return -neg, idx
 
 
 def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

@@ -28,8 +28,17 @@ def three_nn(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
     Parity: ref:tf_ops/interpolation/tf_interpolate.cpp:60-103 (squared
     distances, sorted ascending).
     """
+    m = xyz2.shape[-2]
     d = pairwise_sq_dist(xyz1, xyz2)
-    neg, idx = jax.lax.top_k(-d, 3)
+    k = min(3, m)
+    neg, idx = jax.lax.top_k(-d, k)
+    if k < 3:
+        # fewer than 3 source points: repeat the nearest (the reference's
+        # CPU scan degenerates similarly; inverse-distance weights then
+        # split the mass across the duplicates)
+        reps = 3 - k
+        neg = jnp.concatenate([neg, jnp.repeat(neg[..., :1], reps, -1)], -1)
+        idx = jnp.concatenate([idx, jnp.repeat(idx[..., :1], reps, -1)], -1)
     return -neg, idx.astype(jnp.int32)
 
 

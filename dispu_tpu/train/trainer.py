@@ -16,12 +16,6 @@ from typing import Optional
 import jax
 import numpy as np
 
-
-def jnp_asarray(x):
-    import jax.numpy as jnp
-
-    return jnp.asarray(np.asarray(x))
-
 from dispu_tpu.config import ExperimentConfig
 from dispu_tpu.data.dataset import PatchDataset
 from dispu_tpu.parallel.mesh import make_mesh, shard_batch
@@ -32,8 +26,20 @@ from dispu_tpu.utils.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
-from dispu_tpu.utils.logging import MetricsLogger, StepTimer, dump_args
+from dispu_tpu.utils.logging import (
+    MetricsLogger,
+    StepTimer,
+    backup_sources,
+    dump_args,
+    maybe_profile,
+)
 from dispu_tpu.utils.meters import AverageMeter
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.asarray(x))
 
 
 class Trainer:
@@ -55,6 +61,8 @@ class Trainer:
         self.logger = MetricsLogger(cfg.log_dir)
         self._eval_step = None  # built lazily for visualization
         dump_args(cfg.log_dir, cfg)
+        if cfg.train.backup_sources:
+            backup_sources(cfg.log_dir)
 
     def _visualize(self, state, gt, radius, step: int, epoch: int):
         """Periodic 3-view renders of input/coarse/fine/gt.
@@ -62,8 +70,6 @@ class Trainer:
         Parity: ref:DisPU/model.py:265-292 (image summary every
         steps_per_print, matplotlib plot every steps_per_visu when enabled).
         """
-        import numpy as np
-
         from dispu_tpu.data.augment import sample_nonuniform_inputs
         from dispu_tpu.train.steps import make_eval_step
         from dispu_tpu.utils.visu import plot_pcd_three_views, point_cloud_three_views
@@ -127,22 +133,29 @@ class Trainer:
                 for k in ("total", "coarse_cd", "fine_cd", "coarse_hd", "fine_hd")
             }
             t0 = time.time()
-            for gt, _inputs, radius in self.dataset.epoch(cfg.train.batch_size):
-                key, sub = jax.random.split(key)
-                if self.mesh is not None:
-                    gt, radius = shard_batch(self.mesh, gt, radius)
-                state, metrics = self.train_step(state, gt, radius, sub)
-                step += 1
-                timer.tick()
-                if step % cfg.train.steps_per_print == 0:
-                    host = {k: float(v) for k, v in metrics.items()}
-                    host["steps_per_sec"] = timer.steps_per_sec
-                    self.logger.scalars(step, host)
-                if cfg.train.visualize and step % cfg.train.steps_per_visu == 0:
-                    self._visualize(state, gt, radius, step, epoch_i)
-                for k in meters:
-                    if k in metrics:
-                        meters[k].update(float(metrics[k]))
+            profile_this = cfg.train.profile and epoch_i == start_epoch
+            with maybe_profile(cfg.log_dir, profile_this):
+                for gt, _inputs, radius in self.dataset.epoch(
+                    cfg.train.batch_size
+                ):
+                    key, sub = jax.random.split(key)
+                    if self.mesh is not None:
+                        gt, radius = shard_batch(self.mesh, gt, radius)
+                    state, metrics = self.train_step(state, gt, radius, sub)
+                    step += 1
+                    timer.tick()
+                    if step % cfg.train.steps_per_print == 0:
+                        host = {k: float(v) for k, v in metrics.items()}
+                        host["steps_per_sec"] = timer.steps_per_sec
+                        self.logger.scalars(step, host)
+                    if (
+                        cfg.train.visualize
+                        and step % cfg.train.steps_per_visu == 0
+                    ):
+                        self._visualize(state, gt, radius, step, epoch_i)
+                    for k in meters:
+                        if k in metrics:
+                            meters[k].update(float(metrics[k]))
 
             state = state.next_epoch()
             epoch = epoch_i + 1

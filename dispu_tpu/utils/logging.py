@@ -82,6 +82,20 @@ def maybe_profile(log_dir: Optional[str], enable: bool = False):
         yield
 
 
+def backup_sources(log_dir: str) -> None:
+    """Self-copy the framework sources into the run directory so every run
+    records the exact code that produced it (ref:DisPU/model.py:56-65)."""
+    import shutil
+
+    src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(log_dir, "code", "dispu_tpu")
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    shutil.copytree(
+        src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.pyc")
+    )
+
+
 class StepTimer:
     """Per-step wall-clock accounting for throughput reports."""
 

@@ -1,0 +1,231 @@
+"""Tests for inventory-completing components: PLY IO, extra losses,
+augmentation extras, hierarchy extractors, msg2, selection_sort, converter."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestPlyIO:
+    def test_ascii_roundtrip(self, rng, tmp_path):
+        from dispu_tpu.evaluation.meshio import read_ply, write_ply
+
+        pts = rng.randn(50, 3).astype(np.float32)
+        path = str(tmp_path / "cloud.ply")
+        write_ply(path, pts)
+        back = read_ply(path)
+        np.testing.assert_allclose(back, pts, atol=1e-5)
+
+    def test_binary_ply(self, rng, tmp_path):
+        from dispu_tpu.evaluation.meshio import read_ply
+
+        pts = rng.randn(20, 3).astype(np.float32)
+        path = str(tmp_path / "bin.ply")
+        with open(path, "wb") as f:
+            f.write(
+                b"ply\nformat binary_little_endian 1.0\n"
+                b"element vertex 20\nproperty float x\nproperty float y\n"
+                b"property float z\nend_header\n"
+            )
+            f.write(pts.astype("<f4").tobytes())
+        np.testing.assert_allclose(read_ply(path), pts, atol=1e-6)
+
+    def test_load_dispatch(self, rng, tmp_path):
+        from dispu_tpu.evaluation.meshio import load_points, write_xyz
+
+        pts = rng.randn(10, 3).astype(np.float32)
+        path = str(tmp_path / "c.xyz")
+        write_xyz(path, pts)
+        np.testing.assert_allclose(load_points(path), pts, atol=1e-5)
+
+
+class TestExtraLosses:
+    def test_l1_and_classify(self):
+        from dispu_tpu import losses as L
+
+        assert float(L.l1_loss(jnp.ones((3,)), jnp.zeros((3,)))) == 1.0
+        logits = jnp.asarray([[10.0, -10.0], [-10.0, 10.0]])
+        labels = jnp.asarray([0, 1])
+        assert float(L.classify_loss(logits, labels)) < 1e-6
+
+    def test_geometric_losses_finite(self, rng):
+        from dispu_tpu import losses as L
+
+        a = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        b = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        shape, density, direction = L.geometric_losses(a, b)
+        for v in (shape, density, direction):
+            assert np.isfinite(float(v))
+        # identical clouds → zero shape and density losses
+        s2, d2, _ = L.geometric_losses(a, a)
+        assert float(s2) < 1e-3 and float(d2) < 1e-3
+
+    def test_uniform_exact_prefers_even(self, rng):
+        from dispu_tpu import losses as L
+
+        n = 1000
+        v = rng.randn(n, 3).astype(np.float32)
+        sphere = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        clustered = sphere * 0.05
+        clustered[: n // 2] = sphere[: n // 2]
+        assert L.uniform_exact(sphere[None]) < L.uniform_exact(clustered[None])
+
+
+class TestAugmentExtras:
+    def test_shift(self, rng):
+        from dispu_tpu.data.augment import shift_point_cloud
+
+        batch = jnp.asarray(rng.randn(3, 16, 3), jnp.float32)
+        gt = jnp.asarray(rng.randn(3, 32, 3), jnp.float32)
+        b2, g2 = shift_point_cloud(jax.random.PRNGKey(0), batch, gt)
+        # same shift applied to both
+        np.testing.assert_allclose(
+            np.asarray(b2 - batch)[:, 0], np.asarray(g2 - gt)[:, 0], atol=1e-6
+        )
+
+    def test_rotate_perturbation_is_rotation(self, rng):
+        from dispu_tpu.data.augment import rotate_perturbation
+
+        batch = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        out = rotate_perturbation(jax.random.PRNGKey(1), batch)
+        # norms preserved
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(out), axis=-1),
+            np.linalg.norm(np.asarray(batch), axis=-1),
+            atol=1e-4,
+        )
+
+    def test_dropout_keeps_shape(self, rng):
+        from dispu_tpu.data.augment import random_point_dropout
+
+        batch = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        out = random_point_dropout(jax.random.PRNGKey(2), batch)
+        assert out.shape == batch.shape
+
+    def test_shuffle_is_permutation(self, rng):
+        from dispu_tpu.data.augment import shuffle_points
+
+        batch = jnp.asarray(rng.randn(1, 32, 3), jnp.float32)
+        out = shuffle_points(jax.random.PRNGKey(3), batch)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(out)[0], axis=0),
+            np.sort(np.asarray(batch)[0], axis=0),
+        )
+
+
+class TestHierarchy:
+    def test_extractor_shapes(self, rng):
+        from dispu_tpu.nn.hierarchy import HierarchyFeatureExtractor
+
+        xyz = jnp.asarray(rng.randn(1, 128, 3), jnp.float32)
+        mod = HierarchyFeatureExtractor(npoints=(64, 32, 16), nsample=8)
+        v = mod.init(jax.random.PRNGKey(0), xyz)
+        out = mod.apply(v, xyz)
+        assert out.shape == (1, 128, 128)
+
+    def test_upsampler_shapes(self, rng):
+        from dispu_tpu.nn.hierarchy import HierarchyUpsampler
+
+        xyz = jnp.asarray(rng.randn(1, 64, 3), jnp.float32)
+        mod = HierarchyUpsampler(up_ratio=4)
+        v = mod.init(jax.random.PRNGKey(0), xyz)
+        coord = mod.apply(v, xyz)
+        assert coord.shape == (1, 256, 3)
+
+
+class TestMSGVariants:
+    def test_fused_msg2(self, rng):
+        from dispu_tpu.config import DiscriminatorConfig
+        from dispu_tpu.models.discriminator import PairedMSGModule
+
+        gt = jnp.asarray(rng.randn(1, 64, 3), jnp.float32)
+        pred = jnp.asarray(rng.randn(1, 64, 3), jnp.float32)
+        mod = PairedMSGModule(cfg=DiscriminatorConfig(), fused=True)
+        v = mod.init(jax.random.PRNGKey(0), gt, pred)
+        seeds, feats = mod.apply(v, gt, pred)
+        assert seeds.shape == (1, 8, 3)
+        assert feats.shape == (1, 8, 32 + 64 + 64)  # fused: rank-3
+
+
+class TestSelectionSort:
+    def test_k_smallest(self, rng):
+        from dispu_tpu.ops.grouping import selection_sort
+
+        d = jnp.asarray(rng.rand(2, 10, 30), jnp.float32)
+        vals, idx = selection_sort(d, 4)
+        want = np.sort(np.asarray(d), axis=-1)[..., :4]
+        np.testing.assert_allclose(np.asarray(vals), want, atol=1e-6)
+
+
+class TestConverterMapping:
+    def test_known_names_map(self):
+        from dispu_tpu.utils.convert_tf_checkpoint import map_tf_name
+
+        cases = {
+            "generator/generator/feature_extraction_coarse/layer0/weights":
+                ("params", "feature_extraction_coarse/layer0/dense/kernel"),
+            "generator/generator/feature_extraction_coarse/layer2/l1/biases":
+                ("params", "feature_extraction_coarse/layer2/l1/dense/bias"),
+            "generator/generator/upshuffle_0/conv1/weights":
+                ("params", "upshuffle_0/conv1/dense/kernel"),
+            "generator/refine/PointShuffle/conv_kv/weights":
+                ("params", "PointShuffle/nonlocal/conv_kv/dense/kernel"),
+            "generator/refine/PointShuffle/weight_net/wconv0/bn/gamma":
+                ("params", "PointShuffle/weight_net/wconv0/bn/scale"),
+            "generator/refine/PointShuffle/weight_net/wconv0/bn/moving_mean":
+                ("batch_stats", "PointShuffle/weight_net/wconv0/bn/mean"),
+            "generator/refine/fine_coordinate_regressor/fc_layer2/weights":
+                ("params", "fine_coordinate_regressor/fc_layer2/dense/kernel"),
+        }
+        for name, want in cases.items():
+            assert map_tf_name(name) == want, name
+
+    def test_mapped_paths_exist_in_flax_tree(self):
+        """Every converter target path must exist in the real param tree."""
+        from dispu_tpu.config import GeneratorConfig
+        from dispu_tpu.models.generator import DisPUGenerator
+        from dispu_tpu.utils.convert_tf_checkpoint import map_tf_name
+
+        model = DisPUGenerator(cfg=GeneratorConfig(num_points=32, knn=8,
+                                                   refine_nsample=8))
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 3)), train=False
+        )
+
+        def has_path(tree, path):
+            node = tree
+            for part in path.split("/"):
+                if part not in node:
+                    return False
+                node = node[part]
+            return True
+
+        names = [
+            "generator/generator/feature_extraction_coarse/layer0/weights",
+            "generator/generator/feature_extraction_coarse/layer1/l0/weights",
+            "generator/generator/feature_extraction_coarse/layer2_prep/weights",
+            "generator/generator/upshuffle_0/conv2/biases",
+            "generator/generator/coarse_coordinate_regressor/fc_layer0/weights",
+            "generator/refine/PointShuffle/conv0/weights",
+            "generator/refine/PointShuffle/skip/weights",
+            "generator/refine/PointShuffle/after_conv/weights",
+            "generator/refine/PointShuffle/aggregation/weights",
+            "generator/refine/PointShuffle/conv_query/weights",
+            "generator/refine/PointShuffle/weight_net/wconv0/weights",
+            "generator/refine/PointShuffle/weight_net/wconv0/bn/moving_variance",
+            "generator/refine/fine_coordinate_regressor/fc_layer1/biases",
+        ]
+        for name in names:
+            col, path = map_tf_name(name)
+            assert has_path(variables[col], path), (name, path)
+
+    def test_convert_value_flattens_conv_kernels(self):
+        from dispu_tpu.utils.convert_tf_checkpoint import convert_value
+
+        k = np.zeros((1, 1, 24, 48), np.float32)
+        assert convert_value("a/weights", k).shape == (24, 48)
+        k2 = np.zeros((1, 128, 16, 256), np.float32)
+        assert convert_value("a/weights", k2).shape == (128 * 16, 256)
