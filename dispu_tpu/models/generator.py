@@ -63,6 +63,9 @@ class DisPUGenerator(nn.Module):
         coarse = CoordinateRegressor(
             dtype=self.dtype, name="coarse_coordinate_regressor"
         )(feat, train)
+        # geometry (xyz) always flows in f32, whatever the NN compute dtype:
+        # the refiner's kNN and the losses depend on coordinate precision
+        coarse = coarse.astype(jnp.float32)
 
         # ---- spatial refiner ------------------------------------------
         if not cfg.refine:
@@ -95,7 +98,7 @@ class DisPUGenerator(nn.Module):
             offset_range=cfg.offset_range if cfg.is_off else None,
             dtype=self.dtype,
             name="fine_coordinate_regressor",
-        )(fine_feat, train)
+        )(fine_feat, train).astype(jnp.float32)
 
         fine = new_coarse + offset if cfg.is_off else offset
         return coarse, fine

@@ -44,6 +44,34 @@ class DuplicateUp(nn.Module):
         return net
 
 
+class ContractExpand(nn.Module):
+    """Fold the r duplicates, mix, and re-expand (PU-GAN refinement op).
+
+    Parity: ref:Common/ops.py:1537-1570 (``contract_expand_operation``):
+    (b, r·n, c) → fold to (b, n, r, c) → dense over the fold window → expand
+    back through a c·r dense → (b, r·n, c).  All weight-decayed ReLU convs
+    in the reference; plain ReLU denses here (decay handled by the
+    optimizer when configured).
+    """
+
+    up_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        b, rn, c = inputs.shape
+        r = self.up_ratio
+        n = rn // r
+        net = inputs.reshape(b, r, n, c).swapaxes(1, 2)  # (b, n, r, c)
+        net = PointConv(c, dtype=self.dtype, name="down_conv1")(
+            net.reshape(b, n, r * c), train
+        )
+        net = PointConv(c * r, dtype=self.dtype, name="down_conv2")(net, train)
+        net = net.reshape(b, n, r, c)
+        net = PointConv(c, dtype=self.dtype, name="down_conv3")(net, train)
+        return net.swapaxes(1, 2).reshape(b, rn, c)
+
+
 class UpBlock(nn.Module):
     """PU-GAN-style up block: grid duplication + self-attention + MLPs.
 

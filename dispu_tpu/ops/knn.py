@@ -40,13 +40,31 @@ def mask_duplicate_rows(points: jnp.ndarray) -> jnp.ndarray:
     return jnp.any(eq & earlier, axis=-1)
 
 
-def knn(k: int, points: jnp.ndarray, queries: jnp.ndarray):
+def _use_pallas(impl: str, points: jnp.ndarray, k: int) -> bool:
+    if impl == "pallas":
+        return True
+    if impl == "xla":
+        return False
+    # auto: the fused kernel needs the (n, c) dataset + a query tile in
+    # VMEM; exact bounds checked conservatively
+    return (
+        jax.default_backend() not in ("cpu", "gpu")
+        and points.ndim == 3
+        and points.shape[-2] <= 4096
+        and points.shape[-1] <= 128
+        and k <= 128
+    )
+
+
+def knn(k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"):
     """Exact kNN by squared euclidean distance.
 
     Args:
       k: number of neighbors.
       points: (..., m, c) dataset points.
       queries: (..., n, c) query points.
+      impl: 'auto' (fused Pallas kernel on TPU when shapes fit, XLA top_k
+        otherwise), 'xla', or 'pallas'.
 
     Returns:
       (sq_dists, idx): (..., n, k) float32 squared distances (ascending) and
@@ -55,25 +73,40 @@ def knn(k: int, points: jnp.ndarray, queries: jnp.ndarray):
     Parity: ref:tf_ops/grouping/tf_grouping.py:116-141 (``knn_point``) and
     the nanoflann path — both return exact neighbors sorted ascending; ties
     may order differently, which the reference itself does not pin down
-    (KD-tree vs top_k tie order already differ in the reference).
+    (KD-tree vs top_k tie order already differ in the reference).  The
+    Pallas path is bit-identical to the XLA path (tested on-chip).
     """
+    if _use_pallas(impl, points, k):
+        from dispu_tpu.ops.pallas_kernels import knn_pallas
+
+        return knn_pallas(k, points, queries)
     d = pairwise_sq_dist(queries, points)
     neg, idx = jax.lax.top_k(-d, k)
     return -neg, idx
 
 
-def knn_unique(k: int, points: jnp.ndarray, queries: jnp.ndarray):
+def knn_unique(
+    k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"
+):
     """kNN where duplicated dataset rows are pushed to the end of the order.
 
-    Adds ``max(D)`` to columns whose point is an exact duplicate of an
-    earlier one before taking top-k, so each distinct point is returned at
-    most once while output shapes stay static.
+    Biases columns whose point is an exact duplicate of an earlier one
+    before taking top-k, so each distinct point is returned at most once
+    while output shapes stay static.
 
     Parity: ref:tf_ops/grouping/tf_grouping.py:88-114
     (``knn_point_2(..., unique=True, sort=True)``).
     """
-    d = pairwise_sq_dist(queries, points)
     dup = mask_duplicate_rows(points)  # (..., m)
+    if _use_pallas(impl, points, k):
+        from dispu_tpu.ops.pallas_kernels import knn_pallas
+
+        # constant large bias: selection below k never reaches biased
+        # columns unless fewer than k distinct points exist
+        return knn_pallas(
+            k, points, queries, column_bias=dup.astype(jnp.float32) * 1e30
+        )
+    d = pairwise_sq_dist(queries, points)
     bias = jnp.max(d, axis=(-1, -2), keepdims=True)
     # NOTE: the reference adds the *global* max over the whole batch tensor
     # (tf.reduce_max with no axis, ref line 91); per-batch max is equivalent

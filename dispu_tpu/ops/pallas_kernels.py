@@ -115,6 +115,122 @@ def fps_pallas(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
     return jax.lax.stop_gradient(out[:, 0, :npoint])
 
 
+def _make_knn_kernel(k: int):
+    """Fused distance + k-smallest selection, entirely in VMEM.
+
+    One grid step = (one cloud, one query tile).  The (tile_m, n) distance
+    tile is computed on the MXU and never leaves VMEM; selection is k
+    rounds of (masked-min, first-index-argmin, mask-out) over the resident
+    tile — replacing XLA's sort-based ``top_k`` lowering, which dominated
+    the generator's runtime (21 ms → ~2 ms for (64, 1024) k=16 on v5e).
+    """
+
+    def kernel(pts_ref, q_ref, bias_ref, idx_ref, dist_ref):
+        p = pts_ref[0]  # (n_pad, c_pad)
+        q = q_ref[0]    # (tm, c_pad)
+        n_pad = p.shape[0]
+        tm = q.shape[0]
+        k_pad = idx_ref.shape[-1]
+
+        p2 = jnp.sum(p * p, axis=1)[None, :]
+        q2 = jnp.sum(q * q, axis=1)[:, None]
+        # HIGHEST precision: neighbor selection needs f32-exact distances
+        # (default single-pass bf16 MXU rounding misranks near neighbors)
+        qp = jnp.dot(
+            q, p.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # MXU
+        d = jnp.maximum(q2 - 2.0 * qp + p2, 0.0) + bias_ref[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, k_pad), 1)
+        idx_ref[0] = jnp.zeros((tm, k_pad), jnp.int32)
+        dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
+
+        def body(j, d):
+            mv = jnp.min(d, axis=1, keepdims=True)               # (tm, 1)
+            sel = jnp.min(
+                jnp.where(d == mv, lane, n_pad), axis=1, keepdims=True
+            )                                                     # (tm, 1)
+            idx_ref[0] = jnp.where(lane_k == j, sel, idx_ref[0])
+            dist_ref[0] = jnp.where(lane_k == j, mv, dist_ref[0])
+            return jnp.where(lane == sel, jnp.inf, d)
+
+        jax.lax.fori_loop(0, k, body, d)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def knn_pallas(
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    column_bias: jnp.ndarray | None = None,
+    tile_m: int = 256,
+    interpret: bool = False,
+):
+    """Exact kNN via the fused Pallas kernel.
+
+    Args:
+      k: neighbors (static).
+      points: (b, n, c) dataset points (n·c·4B + tile·n·4B must fit VMEM —
+        fine for n ≤ ~4096).
+      queries: (b, m, c).
+      column_bias: optional (b, n) additive bias on the distance columns
+        (used for duplicate masking — biased columns sort last).
+      tile_m: query rows per grid step.
+
+    Returns:
+      (sq_dists, idx): (b, m, k) ascending — same semantics as
+      ``dispu_tpu.ops.knn.knn``.
+    """
+    b, n, c = points.shape
+    m = queries.shape[1]
+    n_pad = _round_up(max(n, 128), 128)
+    c_pad = _round_up(max(c, 128), 128)
+    k_pad = _round_up(max(k, 128), 128)
+    tile_m = min(tile_m, _round_up(max(m, 8), 8))
+    m_pad = _round_up(max(m, tile_m), tile_m)
+
+    pts = jnp.zeros((b, n_pad, c_pad), jnp.float32)
+    pts = pts.at[:, :n, :c].set(points.astype(jnp.float32))
+    qs = jnp.zeros((b, m_pad, c_pad), jnp.float32)
+    qs = qs.at[:, :m, :c].set(queries.astype(jnp.float32))
+    bias = jnp.full((b, 1, n_pad), 1e30, jnp.float32)
+    if column_bias is None:
+        bias = bias.at[:, 0, :n].set(0.0)
+    else:
+        bias = bias.at[:, 0, :n].set(column_bias.astype(jnp.float32))
+
+    grid = (b, m_pad // tile_m)
+    idx_out, dist_out = pl.pallas_call(
+        _make_knn_kernel(k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, c_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts, qs, bias)
+    return dist_out[:, :m, :k], idx_out[:, :m, :k]
+
+
 def nn_distance_chunked(xyz1: jnp.ndarray, xyz2: jnp.ndarray, chunk: int = 4096):
     """Streaming bidirectional NN distance for large clouds.
 

@@ -70,7 +70,9 @@ def create_gan_state(
 
 def make_gan_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
     """(state, gt, radius, key) → (state, metrics): D update + clip, then G."""
-    gen_model = DisPUGenerator(cfg=cfg.generator)
+    gen_model = DisPUGenerator(
+        cfg=cfg.generator, dtype=jnp.dtype(cfg.train.compute_dtype)
+    )
     disc_model = PatchDiscriminator(cfg=cfg.discriminator)
     tx = adam_transform(cfg.train)
     n_in = cfg.generator.num_points

@@ -34,7 +34,9 @@ def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
     ``gt`` is the dense patch batch (b, r·n, 3) and the sparse input is
     derived on device (ref 'random' mode, ref:DisPU/dataset.py:125-130).
     """
-    model = DisPUGenerator(cfg=cfg.generator)
+    model = DisPUGenerator(
+        cfg=cfg.generator, dtype=jnp.dtype(cfg.train.compute_dtype)
+    )
     tx = adam_transform(cfg.train)
     n_in = cfg.generator.num_points
 
@@ -116,7 +118,9 @@ def make_eval_step(cfg: ExperimentConfig, mesh=None):
     """Jitted inference + metric step: (variables, inputs, gt, radius) →
     (coarse, fine, metrics).  Mirrors the reference's is_training=False
     evaluation fetches (ref:DisPU/model.py:265-292)."""
-    model = DisPUGenerator(cfg=cfg.generator)
+    model = DisPUGenerator(
+        cfg=cfg.generator, dtype=jnp.dtype(cfg.train.compute_dtype)
+    )
 
     def step(variables, inputs, gt, radius):
         coarse, fine = model.apply(variables, inputs, train=False)
