@@ -77,9 +77,10 @@ def knn(k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"):
     Pallas path is bit-identical to the XLA path (tested on-chip).
     """
     if _use_pallas(impl, points, k):
-        from dispu_tpu.ops.pallas_kernels import knn_pallas
+        from dispu_tpu.ops.pallas_kernels import knn_pallas_diff
 
-        return knn_pallas(k, points, queries)
+        zero_bias = jnp.zeros(points.shape[:-1], jnp.float32)
+        return knn_pallas_diff(k, points, queries, zero_bias)
     d = pairwise_sq_dist(queries, points)
     neg, idx = jax.lax.top_k(-d, k)
     return -neg, idx
@@ -99,12 +100,12 @@ def knn_unique(
     """
     dup = mask_duplicate_rows(points)  # (..., m)
     if _use_pallas(impl, points, k):
-        from dispu_tpu.ops.pallas_kernels import knn_pallas
+        from dispu_tpu.ops.pallas_kernels import knn_pallas_diff
 
         # constant large bias: selection below k never reaches biased
         # columns unless fewer than k distinct points exist
-        return knn_pallas(
-            k, points, queries, column_bias=dup.astype(jnp.float32) * 1e30
+        return knn_pallas_diff(
+            k, points, queries, dup.astype(jnp.float32) * 1e30
         )
     d = pairwise_sq_dist(queries, points)
     bias = jnp.max(d, axis=(-1, -2), keepdims=True)

@@ -87,6 +87,9 @@ def fps_pallas(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
     b, n, _ = xyz.shape
     n_pad = _round_up(max(n, 128), 128)
     m_pad = _round_up(max(npoint, 128), 128)
+    # indices carry no gradient (ref: NoGradient); stopping tangents here
+    # also keeps reverse-mode linearization away from the pallas_call
+    xyz = jax.lax.stop_gradient(xyz)
     pts = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (b, 3, n)
     if n_pad != n:
         pts = jnp.pad(pts, ((0, 0), (0, 0), (0, n_pad - n)))
@@ -229,6 +232,55 @@ def knn_pallas(
         interpret=interpret,
     )(pts, qs, bias)
     return dist_out[:, :m, :k], idx_out[:, :m, :k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+def knn_pallas_diff(
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    column_bias: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Differentiable wrapper around ``knn_pallas``.
+
+    ``pallas_call`` has no autodiff rule, so without this the fused kernel
+    would fail reverse-mode linearization inside a train step.  The VJP
+    treats the selection as fixed (exactly what autodiff of
+    ``top_k(pairwise)`` produces, and what TF's top_k gradient does in the
+    reference): the distance cotangent flows to the query point and its
+    selected neighbors; the column bias gets no gradient.
+    """
+    return knn_pallas(
+        k,
+        jax.lax.stop_gradient(points),
+        jax.lax.stop_gradient(queries),
+        column_bias,
+        256,
+        interpret,
+    )
+
+
+def _knn_diff_fwd(k, points, queries, column_bias, interpret):
+    dist, idx = knn_pallas_diff(k, points, queries, column_bias, interpret)
+    return (dist, idx), (points, queries, idx)
+
+
+def _knn_diff_bwd(k, interpret, res, cotangents):
+    points, queries, idx = res
+    g_dist, _ = cotangents
+    neighbors = jax.vmap(lambda p, i: p[i])(points, idx)
+    diff = queries[:, :, None, :] - neighbors  # (b, m, k, c)
+    contrib = 2.0 * g_dist[..., None] * diff
+    d_queries = jnp.sum(contrib, axis=2)
+    d_points = jax.vmap(
+        lambda z, i, u: z.at[i.reshape(-1)].add(u.reshape(-1, u.shape[-1]))
+    )(jnp.zeros_like(points), idx, -contrib)
+    d_bias = jnp.zeros(points.shape[:-1], points.dtype)
+    return d_points, d_queries, d_bias
+
+
+knn_pallas_diff.defvjp(_knn_diff_fwd, _knn_diff_bwd)
 
 
 def nn_distance_chunked(xyz1: jnp.ndarray, xyz2: jnp.ndarray, chunk: int = 4096):

@@ -62,10 +62,8 @@ class GANTrainer:
         step = int(state.gen.step)
 
         for epoch_i in range(start_epoch, total_epochs):
-            meters = {
-                k: AverageMeter()
-                for k in ("total", "fine_cd", "d_loss", "g_gan", "uniform")
-            }
+            metric_sums = None
+            n_metric = 0
             t0 = time.time()
             for gt, _inputs, radius in self.dataset.epoch(cfg.train.batch_size):
                 key, sub = jax.random.split(key)
@@ -74,13 +72,27 @@ class GANTrainer:
                 state, metrics = self.train_step(state, gt, radius, sub)
                 step += 1
                 timer.tick()
+                metric_sums = (
+                    metrics
+                    if metric_sums is None
+                    else jax.tree_util.tree_map(
+                        lambda a, b: a + b, metric_sums, metrics
+                    )
+                )
+                n_metric += 1
                 if step % cfg.train.steps_per_print == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["steps_per_sec"] = timer.steps_per_sec
                     self.logger.scalars(step, host)
+            meters = {
+                k: AverageMeter()
+                for k in ("total", "fine_cd", "d_loss", "g_gan", "uniform")
+            }
+            if metric_sums is not None:
+                host_sums = jax.device_get(metric_sums)
                 for k in meters:
-                    if k in metrics:
-                        meters[k].update(float(metrics[k]))
+                    if k in host_sums:
+                        meters[k].update(float(host_sums[k]) / n_metric)
 
             state = state.next_epoch()
             epoch = epoch_i + 1

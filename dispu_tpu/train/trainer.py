@@ -119,8 +119,28 @@ class Trainer:
         return state, start_epoch
 
     def train(self, restore: bool = False, epochs: Optional[int] = None):
+        """Run the training loop; on interrupt/crash a resume checkpoint is
+        written (the reference's only recovery story was --restore from the
+        last scheduled save, ref:DisPU/model.py:188-194)."""
         cfg = self.cfg
         state, start_epoch = self.init_state(restore)
+        try:
+            return self._train_loop(state, start_epoch, epochs)
+        except (KeyboardInterrupt, Exception):
+            try:
+                last = getattr(self, "_last_state", state)
+                epoch = int(jax.device_get(last.epoch))
+                save_checkpoint(cfg.log_dir, last, epoch)
+                self.logger.text(f"crash checkpoint saved at epoch {epoch}")
+            except Exception:
+                pass
+            raise
+
+    def _train_loop(
+        self, state, start_epoch: int, epochs: Optional[int] = None
+    ):
+        cfg = self.cfg
+        self._last_state = state
         total_epochs = epochs if epochs is not None else cfg.train.training_epoch
         key = jax.random.PRNGKey(cfg.train.seed + 1)
         best_fine_cd = math.inf
@@ -128,10 +148,12 @@ class Trainer:
         step = int(state.step)
 
         for epoch_i in range(start_epoch, total_epochs):
-            meters = {
-                k: AverageMeter()
-                for k in ("total", "coarse_cd", "fine_cd", "coarse_hd", "fine_hd")
-            }
+            # metric sums accumulate on device so the step loop never blocks
+            # on a host fetch (the reference fetched 6 scalars per sess.run,
+            # ref:DisPU/model.py:252-255); one fetch per epoch + the
+            # periodic steps_per_print scalars.
+            metric_sums = None
+            n_metric = 0
             t0 = time.time()
             profile_this = cfg.train.profile and epoch_i == start_epoch
             with maybe_profile(cfg.log_dir, profile_this):
@@ -142,8 +164,17 @@ class Trainer:
                     if self.mesh is not None:
                         gt, radius = shard_batch(self.mesh, gt, radius)
                     state, metrics = self.train_step(state, gt, radius, sub)
+                    self._last_state = state
                     step += 1
                     timer.tick()
+                    metric_sums = (
+                        metrics
+                        if metric_sums is None
+                        else jax.tree_util.tree_map(
+                            lambda a, b: a + b, metric_sums, metrics
+                        )
+                    )
+                    n_metric += 1
                     if step % cfg.train.steps_per_print == 0:
                         host = {k: float(v) for k, v in metrics.items()}
                         host["steps_per_sec"] = timer.steps_per_sec
@@ -153,9 +184,15 @@ class Trainer:
                         and step % cfg.train.steps_per_visu == 0
                     ):
                         self._visualize(state, gt, radius, step, epoch_i)
-                    for k in meters:
-                        if k in metrics:
-                            meters[k].update(float(metrics[k]))
+            meters = {
+                k: AverageMeter()
+                for k in ("total", "coarse_cd", "fine_cd", "coarse_hd", "fine_hd")
+            }
+            if metric_sums is not None:
+                host_sums = jax.device_get(metric_sums)
+                for k in meters:
+                    if k in host_sums:
+                        meters[k].update(float(host_sums[k]) / n_metric)
 
             state = state.next_epoch()
             epoch = epoch_i + 1
