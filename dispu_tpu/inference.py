@@ -95,13 +95,27 @@ class PatchUpsampler:
 
         # pad to a multiple of the device batch for static shapes
         bs = inf.patch_batch
+        if self.mesh is not None:
+            # patch-parallel across the mesh: each device upsamples its
+            # shard of the patch batch (SURVEY §2.3's eval sharding)
+            n_dev = self.mesh.devices.size
+            bs = ((bs + n_dev - 1) // n_dev) * n_dev
         pad = (-seed_num) % bs
         if pad:
             patches = jnp.concatenate([patches, patches[:pad]], axis=0)
         preds = []
         for i in range(patches.shape[0] // bs):
-            preds.append(self._upsample_batch(patches[i * bs : (i + 1) * bs]))
-        pred = jnp.concatenate(preds, axis=0)[:seed_num]
+            chunk = patches[i * bs : (i + 1) * bs]
+            if self.mesh is not None:
+                from dispu_tpu.parallel.mesh import shard_batch
+
+                chunk = shard_batch(self.mesh, chunk)
+            preds.append(self._upsample_batch(chunk))
+        pred = jnp.concatenate(
+            [jax.device_get(p) if self.mesh is not None else p for p in preds],
+            axis=0,
+        )[:seed_num]
+        pred = jnp.asarray(pred)
 
         # un-normalize patches, merge, final FPS
         pred = pred * p_furthest + p_centroid

@@ -1,0 +1,62 @@
+"""Whole-cloud inference pipeline tests (incl. mesh-sharded patches)."""
+
+import jax
+import numpy as np
+import pytest
+
+from dispu_tpu.config import GeneratorConfig, InferenceConfig, TrainConfig
+from dispu_tpu.inference import PatchUpsampler
+from dispu_tpu.parallel.mesh import make_mesh
+from dispu_tpu.train.state import create_generator_state
+
+GEN = GeneratorConfig(num_points=64, knn=8, refine_nsample=8)
+
+
+@pytest.fixture(scope="module")
+def variables():
+    state = create_generator_state(jax.random.PRNGKey(0), GEN, TrainConfig())
+    return {"params": state.params, "batch_stats": state.batch_stats}
+
+
+class TestPatchUpsampler:
+    def test_4x_shapes_and_finiteness(self, rng, variables):
+        up = PatchUpsampler(
+            variables, gen_cfg=GEN,
+            inf_cfg=InferenceConfig(final_ratio=4, patch_num_point=64,
+                                    patch_batch=8),
+        )
+        pc = rng.randn(500, 3).astype(np.float32)
+        out = up.upsample(pc)
+        assert out.shape == (2000, 3)
+        assert np.isfinite(out).all()
+
+    def test_output_covers_input_region(self, rng, variables):
+        # upsampled cloud must stay in the (normalized) input's bounding zone
+        up = PatchUpsampler(
+            variables, gen_cfg=GEN,
+            inf_cfg=InferenceConfig(final_ratio=4, patch_num_point=64,
+                                    patch_batch=8),
+        )
+        pc = rng.randn(300, 3).astype(np.float32)
+        out = up.upsample(pc)
+        in_r = np.abs(pc).max()
+        assert np.abs(out).max() < in_r * 2.5
+
+    def test_mesh_sharded_matches_unsharded(self, rng, variables):
+        pc = rng.randn(400, 3).astype(np.float32)
+        up1 = PatchUpsampler(
+            variables, gen_cfg=GEN,
+            inf_cfg=InferenceConfig(final_ratio=4, patch_num_point=64,
+                                    patch_batch=8),
+        )
+        out1 = up1.upsample(pc)
+        mesh = make_mesh()
+        up2 = PatchUpsampler(
+            variables, gen_cfg=GEN,
+            inf_cfg=InferenceConfig(final_ratio=4, patch_num_point=64,
+                                    patch_batch=8),
+            mesh=mesh,
+        )
+        out2 = up2.upsample(pc)
+        assert out2.shape == out1.shape
+        np.testing.assert_allclose(out1, out2, atol=1e-4)
