@@ -29,7 +29,11 @@ def main():
     from dispu_tpu.config import GeneratorConfig
     from dispu_tpu.models.generator import DisPUGenerator
 
-    cfg = GeneratorConfig()  # 4x: 256 -> 1024
+    # 4x: 256 -> 1024.  fast_gather: one-hot MXU neighborhood gather — the
+    # recommended inference configuration (outputs deviate ≤2e-4 from the
+    # exact-gather path; see PERFORMANCE.md).  Training parity runs use the
+    # default exact gather.
+    cfg = GeneratorConfig(fast_gather=True)
     model = DisPUGenerator(cfg=cfg)
     batch = 64  # patches per device step; the TPU pipeline batches patches
     iters = 20

@@ -37,6 +37,7 @@ class GeneratorConfig:
     bn_momentum: float = 0.95    # 'bn_decay'
     use_nonlocal: bool = True    # NL attention cell in refiner
     use_local: bool = True       # local weighted pooling in refiner
+    fast_gather: bool = False    # one-hot MXU feature gather (bf16-rounded)
 
     @property
     def num_out_points(self) -> int:

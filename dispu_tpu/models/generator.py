@@ -90,6 +90,7 @@ class DisPUGenerator(nn.Module):
             bn_momentum=cfg.bn_momentum,
             use_nonlocal=cfg.use_nonlocal,
             use_local=cfg.use_local,
+            fast_gather=cfg.fast_gather,
             dtype=self.dtype,
             name="PointShuffle",
         )(coarse, fine_feat, train)

