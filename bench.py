@@ -29,11 +29,11 @@ def main():
     from dispu_tpu.config import GeneratorConfig
     from dispu_tpu.models.generator import DisPUGenerator
 
-    # 4x: 256 -> 1024.  fast_gather: one-hot MXU neighborhood gather — the
-    # recommended inference configuration (outputs deviate ≤2e-4 from the
-    # exact-gather path; see PERFORMANCE.md).  Training parity runs use the
-    # default exact gather.
-    cfg = GeneratorConfig(fast_gather=True)
+    # 4x: 256 -> 1024, in the turbo inference configuration: one-hot MXU
+    # neighborhood gathers in the refiner (output dev ≤2e-4) and backbone
+    # (dev ~1e-2) — see PERFORMANCE.md.  Training/parity runs use the
+    # default exact gathers.
+    cfg = GeneratorConfig(fast_gather=True, fast_gather_backbone=True)
     model = DisPUGenerator(cfg=cfg)
     batch = 64  # patches per device step; the TPU pipeline batches patches
     iters = 20

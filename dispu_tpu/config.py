@@ -37,7 +37,9 @@ class GeneratorConfig:
     bn_momentum: float = 0.95    # 'bn_decay'
     use_nonlocal: bool = True    # NL attention cell in refiner
     use_local: bool = True       # local weighted pooling in refiner
-    fast_gather: bool = False    # one-hot MXU feature gather (bf16-rounded)
+    # one-hot MXU feature gathers (bf16-rounded values):
+    fast_gather: bool = False           # refiner only — output dev ≤2e-4
+    fast_gather_backbone: bool = False  # + backbone — dev ~1e-2, fastest
 
     @property
     def num_out_points(self) -> int:

@@ -51,6 +51,7 @@ class DisPUGenerator(nn.Module):
             dense_block=cfg.dense_block,
             dense_n=cfg.dense_n,
             k=cfg.knn,
+            fast_gather=cfg.fast_gather_backbone,
             name="feature_extraction_coarse",
             **kw,
         )(inputs, train)

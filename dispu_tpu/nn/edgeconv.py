@@ -21,7 +21,10 @@ from dispu_tpu.ops.knn import knn_unique
 
 
 def edge_feature(
-    feature: jnp.ndarray, k: int, idx: Optional[jnp.ndarray] = None
+    feature: jnp.ndarray,
+    k: int,
+    idx: Optional[jnp.ndarray] = None,
+    gather_impl: str = "gather",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-edge tensor [center, neighbor − center].
 
@@ -39,7 +42,7 @@ def edge_feature(
     if idx is None:
         _, nbr = knn_unique(k + 1, feature, feature)
         idx = nbr[:, :, 1:]
-    neighbors = group_point(feature, idx)
+    neighbors = group_point(feature, idx, impl=gather_impl)
     center = jnp.broadcast_to(
         feature[:, :, None, :], neighbors.shape
     )
@@ -62,6 +65,7 @@ class DenseEdgeBlock(nn.Module):
     k: int = 16
     use_bn: bool = False
     bn_momentum: float = 0.95
+    fast_gather: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,7 +75,10 @@ class DenseEdgeBlock(nn.Module):
         train: bool = False,
         idx: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        y, idx = edge_feature(feature, self.k, idx)
+        y, idx = edge_feature(
+            feature, self.k, idx,
+            gather_impl="onehot" if self.fast_gather else "gather",
+        )
         for i in range(self.n):
             conv = PointConv(
                 self.growth_rate,
@@ -133,6 +140,7 @@ class FeatureExtractorGCN(nn.Module):
     k: int = 16
     use_bn: bool = False
     bn_momentum: float = 0.95
+    fast_gather: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -141,15 +149,16 @@ class FeatureExtractorGCN(nn.Module):
         kw = dict(
             use_bn=self.use_bn, bn_momentum=self.bn_momentum, dtype=self.dtype
         )
+        bkw = dict(fast_gather=self.fast_gather, **kw)
         feat = PointConv(24, activation=None, name="layer0", **kw)(xyz, train)
         out, _ = DenseEdgeBlock(
-            self.growth_rate, self.dense_n, self.k, name="layer1", **kw
+            self.growth_rate, self.dense_n, self.k, name="layer1", **bkw
         )(feat, train)
         out = jnp.concatenate([out, feat], axis=-1)
         for b in range(2, self.dense_block + 1):
             prep = PointConv(comp, name=f"layer{b}_prep", **kw)(out, train)
             block, _ = DenseEdgeBlock(
-                self.growth_rate, self.dense_n, self.k, name=f"layer{b}", **kw
+                self.growth_rate, self.dense_n, self.k, name=f"layer{b}", **bkw
             )(prep, train)
             out = jnp.concatenate([block, out], axis=-1)
         return out
