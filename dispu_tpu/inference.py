@@ -15,10 +15,7 @@ static; one compile per distinct input size.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

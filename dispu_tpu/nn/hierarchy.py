@@ -8,7 +8,7 @@ the model zoo covers every extractor the reference ships).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,12 +8,12 @@ ops (FPS / ball query / kNN / 3-NN interpolation).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from dispu_tpu.nn.layers import PointConv, PointMLP
+from dispu_tpu.nn.layers import PointConv
 from dispu_tpu.ops.grouping import group_point, query_ball_point
 from dispu_tpu.ops.interpolate import (
     inverse_distance_weights,

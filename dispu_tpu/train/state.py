@@ -8,7 +8,7 @@ and fine-weight schedules are functions of it.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax.struct
 import jax

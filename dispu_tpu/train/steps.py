@@ -14,8 +14,6 @@ XLA inserts the gradient psum over ICI.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 
