@@ -118,6 +118,11 @@ class TrainConfig:
     # TPU-specific
     donate_state: bool = True
     compute_dtype: str = "float32"  # or "bfloat16" for the NN compute path
+    # keep the whole patch set resident in HBM and ship only batch indices
+    # per step (the PU-GAN set is ~100 MB; per-step host uploads otherwise
+    # serialize the loop, badly so through a remote-dispatch tunnel)
+    device_data: bool = True
+    device_data_max_bytes: int = 2_000_000_000
 
 
 @dataclasses.dataclass(frozen=True)

@@ -131,6 +131,17 @@ class PatchDataset:
     def num_batches(self, batch_size: int) -> int:
         return len(self.gt) // batch_size
 
+    def epoch_indices(
+        self, batch_size: int, shuffle: bool = True
+    ) -> Iterator[np.ndarray]:
+        """Yield per-batch index arrays (for device-resident data: the host
+        ships ~batch_size ints per step instead of the point tensors)."""
+        order = np.arange(len(self.gt))
+        if shuffle:
+            self._rng.shuffle(order)
+        for b in range(self.num_batches(batch_size)):
+            yield order[b * batch_size : (b + 1) * batch_size]
+
     def epoch(
         self, batch_size: int, shuffle: bool = True
     ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:

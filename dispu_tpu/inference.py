@@ -99,7 +99,12 @@ class PatchUpsampler:
             bs = ((bs + n_dev - 1) // n_dev) * n_dev
         pad = (-seed_num) % bs
         if pad:
-            patches = jnp.concatenate([patches, patches[:pad]], axis=0)
+            # pad may exceed seed_num (small clouds / large patch_batch):
+            # replicate the first patch rather than slicing short
+            filler = jnp.broadcast_to(
+                patches[:1], (pad,) + patches.shape[1:]
+            )
+            patches = jnp.concatenate([patches, filler], axis=0)
         preds = []
         for i in range(patches.shape[0] // bs):
             chunk = patches[i * bs : (i + 1) * bs]

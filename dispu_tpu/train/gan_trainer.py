@@ -52,6 +52,23 @@ class GANTrainer:
                 start_epoch = epoch
         return state, start_epoch
 
+    def _batches(self, batch_size: int):
+        """Device-resident batching (see Trainer._batches)."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        nbytes = self.dataset.gt.nbytes
+        if cfg.train.device_data and nbytes <= cfg.train.device_data_max_bytes:
+            if getattr(self, "_gt_dev", None) is None:
+                self._gt_dev = jnp.asarray(self.dataset.gt)
+                self._radius_dev = jnp.asarray(self.dataset.radius)
+            for idx in self.dataset.epoch_indices(batch_size):
+                idx = jnp.asarray(idx)
+                yield self._gt_dev[idx], self._radius_dev[idx]
+        else:
+            for gt, _inputs, radius in self.dataset.epoch(batch_size):
+                yield gt, radius
+
     def train(self, restore: bool = False, epochs: Optional[int] = None):
         cfg = self.cfg
         state, start_epoch = self.init_state(restore)
@@ -65,7 +82,7 @@ class GANTrainer:
             metric_sums = None
             n_metric = 0
             t0 = time.time()
-            for gt, _inputs, radius in self.dataset.epoch(cfg.train.batch_size):
+            for gt, radius in self._batches(cfg.train.batch_size):
                 key, sub = jax.random.split(key)
                 if self.mesh is not None:
                     gt, radius = shard_batch(self.mesh, gt, radius)

@@ -136,6 +136,29 @@ class Trainer:
                 pass
             raise
 
+    def _batches(self, batch_size: int):
+        """Yield (gt, radius) device batches.
+
+        With ``device_data`` the whole patch set lives in HBM and each step
+        ships only a batch-index array — per-step host→device tensor
+        uploads otherwise serialize the loop (severely so over a
+        remote-dispatch tunnel: ~0.6 s per 0.4 MB batch vs ~60 ms compute).
+        """
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        nbytes = self.dataset.gt.nbytes
+        if cfg.train.device_data and nbytes <= cfg.train.device_data_max_bytes:
+            if getattr(self, "_gt_dev", None) is None:
+                self._gt_dev = jnp.asarray(self.dataset.gt)
+                self._radius_dev = jnp.asarray(self.dataset.radius)
+            for idx in self.dataset.epoch_indices(batch_size):
+                idx = jnp.asarray(idx)
+                yield self._gt_dev[idx], self._radius_dev[idx]
+        else:
+            for gt, _inputs, radius in self.dataset.epoch(batch_size):
+                yield gt, radius
+
     def _train_loop(
         self, state, start_epoch: int, epochs: Optional[int] = None
     ):
@@ -157,9 +180,7 @@ class Trainer:
             t0 = time.time()
             profile_this = cfg.train.profile and epoch_i == start_epoch
             with maybe_profile(cfg.log_dir, profile_this):
-                for gt, _inputs, radius in self.dataset.epoch(
-                    cfg.train.batch_size
-                ):
+                for gt, radius in self._batches(cfg.train.batch_size):
                     key, sub = jax.random.split(key)
                     if self.mesh is not None:
                         gt, radius = shard_batch(self.mesh, gt, radius)

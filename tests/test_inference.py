@@ -30,6 +30,19 @@ class TestPatchUpsampler:
         assert out.shape == (2000, 3)
         assert np.isfinite(out).all()
 
+    def test_patch_batch_larger_than_seed_count(self, rng, variables):
+        # regression: pad > seed_num previously under-padded and produced
+        # zero batches (hit on Icosahedron with patch_batch=64)
+        up = PatchUpsampler(
+            variables, gen_cfg=GEN,
+            inf_cfg=InferenceConfig(final_ratio=4, patch_num_point=64,
+                                    patch_batch=32),
+        )
+        pc = rng.randn(150, 3).astype(np.float32)  # 7 seeds < batch 32
+        out = up.upsample(pc)
+        assert out.shape == (600, 3)
+        assert np.isfinite(out).all()
+
     def test_output_covers_input_region(self, rng, variables):
         # upsampled cloud must stay in the (normalized) input's bounding zone
         up = PatchUpsampler(
