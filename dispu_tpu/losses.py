@@ -140,6 +140,7 @@ def uniform_exact(
     pcd,
     percentages: Sequence[float] = (0.002, 0.004, 0.006, 0.008, 0.010, 0.012, 0.015),
     radius: float = 1.0,
+    cap_counts: bool = False,
 ):
     """Exact disk-uniformity statistic (host/numpy; the 'whole, slower'
     variant).
@@ -149,6 +150,14 @@ def uniform_exact(
     below 5 members only coverage counts; otherwise multiply by the
     χ²-normalized NN-spacing deviation from the hexagon ideal.  A metric,
     not a training loss (no gradient).
+
+    By default disk membership is counted *exactly* — every point strictly
+    inside the radius — so overdense disks (count > nsample) are penalized.
+    The reference's py variant inherits a silent count cap at ``nsample``
+    from the CUDA ball query it feeds on (ref:tf_ops/grouping/
+    tf_grouping_g.cu:16-17 breaks at ``cnt == nsample``), so its coverage
+    term can never see density above nsample; pass ``cap_counts=True`` to
+    reproduce that op-faithful behavior.
     """
     import numpy as np
 
@@ -160,18 +169,28 @@ def uniform_exact(
     for p in percentages:
         nsample = max(int(n * p), 1)
         r = math.sqrt(p * radius)
-        idx, cnt = query_ball_point(r, nsample, jnp.asarray(pcd),
-                                    jnp.take_along_axis(jnp.asarray(pcd), jnp.asarray(seeds_idx)[..., None], axis=1))
-        idx, cnt = np.asarray(idx), np.asarray(cnt)
         vals = []
         for i in range(b):
+            pts = pcd[i]
+            seeds = pts[seeds_idx[i]]
+            # exact membership: strict d < r with the CUDA op's 1e-20 floor
+            d = np.sqrt(
+                np.maximum(
+                    np.sum((seeds[:, None] - pts[None]) ** 2, -1), 1e-40
+                )
+            )
+            inside = d < r  # (npoint, n)
             for j in range(npoint):
-                number = int(cnt[i, j])
+                members = np.nonzero(inside[j])[0]
+                number = len(members)
+                if cap_counts and number > nsample:
+                    members = members[:nsample]
+                    number = nsample
                 coverage = (number - nsample) ** 2 / nsample
                 if number < 5:
                     vals.append(coverage)
                     continue
-                disk = pcd[i][idx[i, j, :number]]
+                disk = pts[members]
                 dd = np.sum((disk[:, None] - disk[None]) ** 2, -1)
                 np.fill_diagonal(dd, np.inf)
                 shortest = np.sqrt(dd.min(axis=1))

@@ -73,6 +73,26 @@ class TestExtraLosses:
         clustered[: n // 2] = sphere[: n // 2]
         assert L.uniform_exact(sphere[None]) < L.uniform_exact(clustered[None])
 
+    def test_uniform_exact_sees_overdense_disks(self, rng):
+        """Uncapped counting penalizes disks denser than nsample; the
+        reference's CUDA-fed variant caps counts at nsample
+        (ref:tf_ops/grouping/tf_grouping_g.cu:16-17) and cannot."""
+        from dispu_tpu import losses as L
+
+        n = 1000
+        v = rng.randn(n, 3).astype(np.float32)
+        cloud = v / np.linalg.norm(v, axis=-1, keepdims=True)
+        # cram 200 points into a tiny ball: any disk seeded there holds far
+        # more than nsample = n*p members
+        cloud[:200] = cloud[:200] * 1e-3 + np.float32([1.0, 0.0, 0.0])
+        p = (0.012,)
+        exact = L.uniform_exact(cloud[None], percentages=p)
+        capped = L.uniform_exact(cloud[None], percentages=p, cap_counts=True)
+        # capped counting zeroes the coverage term of every overdense disk
+        # (count clamps to nsample), so the exact statistic is strictly
+        # larger on this cloud
+        assert exact > capped * 1.1, (exact, capped)
+
 
 class TestAugmentExtras:
     def test_shift(self, rng):
