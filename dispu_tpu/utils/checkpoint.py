@@ -6,8 +6,7 @@ filename at restore, ref:Common/model_utils.py:132-139).
 
 Format: flax msgpack serialization of the full state pytree (params, batch
 stats, Adam moments, epoch/step counters) — restores are exact resume
-points.  Orbax is used when available for async multi-host saves; the
-msgpack path has no dependencies and is the default.
+points, with no dependencies beyond flax.
 """
 
 from __future__ import annotations

@@ -3,10 +3,12 @@
 The reference ships a pretrained TF1 checkpoint (ref:README.md:40, Google
 Drive).  This converter maps its variable scopes onto the flax param tree
 so the released weights can be loaded for CD-parity runs (BASELINE.md
-north star).  TensorFlow is not part of this environment, so the reader is
-gated: with no TF installed the module still documents and validates the
-name mapping (``expected_tf_names``), and the actual conversion activates
-wherever TF is available.
+north star).  TensorFlow is not part of this environment, so only the
+checkpoint *reader* is gated on it: the name mapping (``map_tf_name``),
+the layout conversion (``convert_value``), the tree assembly
+(``convert_variables``) and the expected-name-set generator
+(``expected_tf_names``) are all TF-free and tested with a synthetic
+TF-shaped tensor round-trip (tests/test_extras.py).
 
 Scope mapping (reference graph → flax tree), established from
 ref:DisPU/generator.py:45-81 and the op implementations:
@@ -123,6 +125,84 @@ def convert_value(tf_name: str, value: np.ndarray) -> np.ndarray:
     return value
 
 
+def convert_variables(tensors: Dict[str, np.ndarray]) -> Dict[str, Dict]:
+    """Convert a {tf_name: array} dict to nested {params, batch_stats} dicts.
+
+    The TF-free core of the converter: applies the name mapping and the
+    kernel-layout reshape, skips optimizer/bookkeeping slots, and raises on
+    any reference variable it does not recognize.
+    """
+    out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
+    unmapped = []
+    for name, value in tensors.items():
+        mapped = map_tf_name(name)
+        if mapped is None:
+            if not any(s in name for s in ("Adam", "global_step", "epoch",
+                                           "beta1_power", "beta2_power")):
+                unmapped.append(name)
+            continue
+        collection, path = mapped
+        value = convert_value(name, value)
+        node = out[collection]
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = np.asarray(value, np.float32)
+    if unmapped:
+        raise ValueError(f"unmapped reference variables: {sorted(unmapped)}")
+    return out
+
+
+def expected_tf_names(variables, refine_nsample: int) -> Dict[str, tuple]:
+    """The full TF variable name set (with TF shapes) for a flax tree.
+
+    Inverts the scope mapping: walk a model's ``variables`` pytree and
+    emit, for every leaf, the reference graph's variable name
+    (ref:DisPU/generator.py:45-81 scopes) and the shape the TF1 checkpoint
+    stores it with — 1×1 conv kernels as ``(1, 1, Cin, Cout)``, the
+    refiner's after_conv as ``(1, Cin/S, S, Cout)`` (it consumes the
+    (C', S) plane, ref:Common/ops.py:1064-1072), BN params/stats by their
+    TF names.  Used to synthesize checkpoint-shaped tensors for the
+    round-trip test and to validate real checkpoints for completeness.
+    """
+    import flax.traverse_util
+
+    out: Dict[str, tuple] = {}
+    flat = flax.traverse_util.flatten_dict(variables, sep="/")
+    refine_tops = ("PointShuffle", "fine_coordinate_regressor")
+    for path, leaf in flat.items():
+        collection, rest = path.split("/", 1)
+        parts = rest.split("/")
+        prefix = (
+            "generator/refine/" if parts[0] in refine_tops
+            else "generator/generator/"
+        )
+        if "nonlocal" in parts:
+            parts.remove("nonlocal")
+        shape = tuple(leaf.shape)
+        if parts[-2:] == ["dense", "kernel"]:
+            cin, cout = shape
+            if parts[-3] == "after_conv":
+                tf_shape = (1, cin // refine_nsample, refine_nsample, cout)
+            else:
+                tf_shape = (1, 1, cin, cout)
+            name = "/".join(parts[:-2]) + "/weights"
+        elif parts[-2:] == ["dense", "bias"]:
+            name = "/".join(parts[:-2]) + "/biases"
+            tf_shape = shape
+        elif parts[-2] == "bn":
+            tf_leaf = {
+                "scale": "gamma", "bias": "beta",
+                "mean": "moving_mean", "var": "moving_variance",
+            }[parts[-1]]
+            name = "/".join(parts[:-1]) + "/" + tf_leaf
+            tf_shape = shape
+        else:
+            raise ValueError(f"unrecognized flax leaf: {path}")
+        out[prefix + name] = tf_shape
+    return out
+
+
 def convert_checkpoint(ckpt_path: str) -> Dict[str, Dict]:
     """Read a TF1 checkpoint and emit nested {params, batch_stats} dicts.
 
@@ -138,22 +218,8 @@ def convert_checkpoint(ckpt_path: str) -> Dict[str, Dict]:
     import tensorflow as tf
 
     reader = tf.train.load_checkpoint(ckpt_path)
-    out: Dict[str, Dict] = {"params": {}, "batch_stats": {}}
-    unmapped = []
-    for name in reader.get_variable_to_shape_map():
-        mapped = map_tf_name(name)
-        if mapped is None:
-            if not any(s in name for s in ("Adam", "global_step", "epoch",
-                                           "beta1_power", "beta2_power")):
-                unmapped.append(name)
-            continue
-        collection, path = mapped
-        value = convert_value(name, reader.get_tensor(name))
-        node = out[collection]
-        parts = path.split("/")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = np.asarray(value, np.float32)
-    if unmapped:
-        raise ValueError(f"unmapped reference variables: {sorted(unmapped)}")
-    return out
+    tensors = {
+        name: reader.get_tensor(name)
+        for name in reader.get_variable_to_shape_map()
+    }
+    return convert_variables(tensors)

@@ -249,3 +249,103 @@ class TestConverterMapping:
         assert convert_value("a/weights", k).shape == (24, 48)
         k2 = np.zeros((1, 128, 16, 256), np.float32)
         assert convert_value("a/weights", k2).shape == (128 * 16, 256)
+
+    def _tiny_model(self):
+        from dispu_tpu.config import GeneratorConfig
+        from dispu_tpu.models.generator import DisPUGenerator
+
+        cfg = GeneratorConfig(num_points=32, knn=8, refine_nsample=8)
+        model = DisPUGenerator(cfg=cfg)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 3)), train=False
+        )
+        return cfg, model, variables
+
+    def test_synthetic_roundtrip_convert_variables(self, rng):
+        """Fake TF-shaped tensors for the FULL expected name set →
+        convert_variables → tree identical to model.init → forward runs."""
+        import flax.traverse_util
+
+        from dispu_tpu.utils.convert_tf_checkpoint import (
+            convert_variables,
+            expected_tf_names,
+        )
+
+        cfg, model, variables = self._tiny_model()
+        names = expected_tf_names(variables, refine_nsample=cfg.refine_nsample)
+        tensors = {
+            name: (np.abs(rng.randn(*shape)) + 0.5
+                   if name.endswith("moving_variance")
+                   else rng.randn(*shape) * 0.05).astype(np.float32)
+            for name, shape in names.items()
+        }
+        # optimizer/bookkeeping slots must be silently skipped
+        tensors["generator/generator/upshuffle_0/conv1/weights/Adam"] = (
+            np.zeros((1, 1, 482, 256), np.float32)
+        )
+        tensors["beta1_power"] = np.zeros((), np.float32)
+        converted = convert_variables(tensors)
+
+        want = flax.traverse_util.flatten_dict(variables, sep="/")
+        got = flax.traverse_util.flatten_dict(converted, sep="/")
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k].shape == want[k].shape, k
+        # a kernel round-trips exactly (squeezed, no permute)
+        np.testing.assert_array_equal(
+            got["params/feature_extraction_coarse/layer0/dense/kernel"],
+            tensors[
+                "generator/generator/feature_extraction_coarse/layer0/weights"
+            ][0, 0],
+        )
+
+        x = jnp.asarray(rng.randn(1, 32, 3), jnp.float32)
+        coarse, fine = model.apply(converted, x, train=False)
+        assert np.isfinite(np.asarray(coarse)).all()
+        assert np.isfinite(np.asarray(fine)).all()
+
+    def test_real_tf1_checkpoint_roundtrip(self, rng, tmp_path):
+        """Write a genuine TF1-format checkpoint (compat.v1 Saver) carrying
+        the full expected variable set, read it back with
+        convert_checkpoint, load into the model, forward."""
+        tf = pytest.importorskip("tensorflow")
+        import flax.traverse_util
+
+        from dispu_tpu.utils.convert_tf_checkpoint import (
+            convert_checkpoint,
+            expected_tf_names,
+        )
+
+        cfg, model, variables = self._tiny_model()
+        names = expected_tf_names(variables, refine_nsample=cfg.refine_nsample)
+        values = {
+            name: (np.abs(rng.randn(*shape)) + 0.5
+                   if name.endswith("moving_variance")
+                   else rng.randn(*shape) * 0.05).astype(np.float32)
+            for name, shape in names.items()
+        }
+
+        ckpt = str(tmp_path / "model-100")
+        graph = tf.Graph()
+        with graph.as_default():
+            for name, val in values.items():
+                tf.compat.v1.get_variable(name, initializer=val)
+            saver = tf.compat.v1.train.Saver()
+            with tf.compat.v1.Session() as sess:
+                sess.run(tf.compat.v1.global_variables_initializer())
+                saver.save(sess, ckpt)
+
+        converted = convert_checkpoint(ckpt)
+        want = flax.traverse_util.flatten_dict(variables, sep="/")
+        got = flax.traverse_util.flatten_dict(converted, sep="/")
+        assert set(got) == set(want)
+        np.testing.assert_array_equal(
+            got["params/PointShuffle/after_conv/dense/kernel"],
+            values["generator/refine/PointShuffle/after_conv/weights"]
+            .reshape(-1, values[
+                "generator/refine/PointShuffle/after_conv/weights"
+            ].shape[-1]),
+        )
+        x = jnp.asarray(rng.randn(1, 32, 3), jnp.float32)
+        coarse, fine = model.apply(converted, x, train=False)
+        assert coarse.shape == fine.shape == (1, 128, 3)
