@@ -73,8 +73,13 @@ def synthetic_patches(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Procedural patch set for tests/benchmarks when no h5 is present.
 
-    Patches are sampled from random smooth parametric surfaces (quadric
-    bumps), normalized to the unit sphere like the real data.  This is a
+    Patches are sampled from random parametric height fields: a quadric
+    base plus a sharp crease (|u| ridge at a random angle) and a mid-
+    frequency sinusoidal relief, normalized to the unit sphere like the
+    real data.  The crease/relief terms keep the surfaces hard enough that
+    a coarse-only generator underfits — leaving residual error for the
+    spatial refiner to fix, which is the behavior Dis-PU's disentangled
+    design exists to exhibit (ref:DisPU/generator.py:59-88).  This is a
     framework utility, not a reference feature.
     """
     rng = np.random.RandomState(seed)
@@ -83,6 +88,16 @@ def synthetic_patches(
         uv = rng.rand(n_points, 2) * 2.0 - 1.0
         a, b, c = rng.randn(3) * 0.5
         z = a * uv[:, 0] ** 2 + b * uv[:, 1] ** 2 + c * uv[:, 0] * uv[:, 1]
+        # sharp crease along a random direction
+        theta = rng.rand() * np.pi
+        t = uv[:, 0] * np.cos(theta) + uv[:, 1] * np.sin(theta)
+        z += rng.uniform(0.2, 0.6) * np.abs(t)
+        # mid-frequency relief
+        fu, fv = rng.uniform(2.0, 4.0, size=2)
+        phase = rng.rand(2) * 2 * np.pi
+        z += rng.uniform(0.05, 0.15) * np.sin(
+            fu * np.pi * uv[:, 0] + phase[0]
+        ) * np.sin(fv * np.pi * uv[:, 1] + phase[1])
         pts = np.stack([uv[:, 0], uv[:, 1], z], axis=-1)
         gt[i] = pts
     gt, _, _ = normalize_point_cloud_np(gt)

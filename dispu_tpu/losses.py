@@ -325,6 +325,11 @@ def pu_losses(
         else 0.0
     )
     total = coarse_cd + weight_fine * fine_cd + rep
+    # refinement-offset magnitude: |fine − coarse| per point.  Dis-PU's
+    # thesis is that the refiner moves points (ref:DisPU/generator.py:59-88);
+    # offset_mean ≈ 0 means the refinement head has collapsed and fine
+    # degenerates to coarse — track it so that failure mode is visible.
+    off = jnp.sqrt(jnp.sum((fine - coarse) ** 2, axis=-1) + 1e-20)
     metrics = {
         "coarse_cd": coarse_cd,
         "fine_cd": fine_cd,
@@ -332,5 +337,7 @@ def pu_losses(
         "fine_hd": fine_hd,
         "repulsion": rep,
         "weight_fine": weight_fine,
+        "offset_mean": jnp.mean(off),
+        "offset_max": jnp.max(off),
     }
     return total, metrics

@@ -122,6 +122,7 @@ def make_eval_step(cfg: ExperimentConfig, mesh=None):
 
     def step(variables, inputs, gt, radius):
         coarse, fine = model.apply(variables, inputs, train=False)
+        off = jnp.sqrt(jnp.sum((fine - coarse) ** 2, axis=-1) + 1e-20)
         metrics = {
             "coarse_cd": cfg.loss.coarse_cd_w
             * L.chamfer(coarse, gt, radius=radius),
@@ -129,6 +130,7 @@ def make_eval_step(cfg: ExperimentConfig, mesh=None):
             * L.chamfer(fine, gt, radius=radius),
             "fine_hd": cfg.loss.hd_w
             * L.hausdorff(fine, gt, radius=radius),
+            "offset_mean": jnp.mean(off),
         }
         return coarse, fine, metrics
 

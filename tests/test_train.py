@@ -77,6 +77,42 @@ class TestTrainStep:
         coarse, fine, metrics = ev(tiny_state.variables(), inputs, gt, radius)
         assert fine.shape == (8, 128, 3)
         assert np.isfinite(float(metrics["fine_cd"]))
+        assert "offset_mean" in metrics
+
+    def test_refiner_improves_fine_over_coarse(self):
+        """The disentanglement thesis (ref:DisPU/generator.py:59-88): after
+        training on structured surfaces the refinement offsets must be
+        alive (non-vanishing) and fine must track gt better than coarse.
+        Guards against the round-1 demo failure mode where the offset head
+        collapsed to ~0 and fine degenerated to coarse."""
+        gen = GeneratorConfig(num_points=64, knn=8, refine_nsample=8)
+        cfg = ExperimentConfig(
+            generator=gen,
+            train=TrainConfig(batch_size=8),
+            data=DataConfig(num_point=64),
+            loss=LossConfig(repulsion_nsample=8),
+        )
+        gt_all, _, radius_all = synthetic_patches(32, 256, seed=3)
+        state = create_generator_state(jax.random.PRNGKey(0), gen, cfg.train)
+        step = make_train_step(cfg, donate=False)
+        key = jax.random.PRNGKey(1)
+        tail_fine, tail_coarse, tail_off = [], [], []
+        n_steps = 160  # 40 epochs of 4 batches; weight_fine reaches 1.0
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            sel = np.random.RandomState(i).permutation(32)[:8]
+            gt = jnp.asarray(gt_all[sel])
+            radius = jnp.asarray(radius_all[sel])
+            state, metrics = step(state, gt, radius, sub)
+            if i % 4 == 3:
+                state = state.replace(epoch=state.epoch + 1)
+            if i >= n_steps - 20:
+                tail_fine.append(float(metrics["fine_cd"]))
+                tail_coarse.append(float(metrics["coarse_cd"]))
+                tail_off.append(float(metrics["offset_mean"]))
+        assert np.mean(tail_off) > 2e-3, "refinement offsets collapsed"
+        assert np.mean(tail_fine) < np.mean(tail_coarse), (
+            np.mean(tail_fine), np.mean(tail_coarse))
 
 
 class TestDataParallel:
