@@ -341,3 +341,86 @@ def pu_losses(
         "offset_max": jnp.max(off),
     }
     return total, metrics
+
+
+def repulsion4(
+    pred: jnp.ndarray, nsample: int = 20, radius: float = 0.07
+) -> jnp.ndarray:
+    """RBF-weighted spacing penalty (the PU-Net-style 'uniform loss').
+
+    Parity: ref:Common/model_utils.py:189-207 (``get_repulsion_loss4``) —
+    ball-query ``nsample`` neighbors, 5 nearest squared distances minus the
+    self column, h = 0.03, loss = mean(radius − d·exp(−d²/h²)).
+    """
+    idx, _ = query_ball_point(radius, nsample, pred, pred)
+    grouped = group_point(pred, idx) - pred[:, :, None, :]
+    d2 = jnp.sum(grouped**2, axis=-1)
+    neg_top, _ = jax.lax.top_k(-d2, 5)
+    d2 = jnp.maximum(-neg_top[:, :, 1:], 1e-12)
+    d = jnp.sqrt(d2)
+    h = 0.03
+    weight = jnp.exp(-d2 / h**2)
+    return jnp.mean(radius - d * weight)
+
+
+def perulsion_loss(
+    pred: jnp.ndarray,
+    nsample: int = 15,
+    radius: float = 0.07,
+    use_knn: bool = False,
+    use_l1: bool = False,
+) -> jnp.ndarray:
+    """Repulsion with an L1/L2 switch and matching bandwidths.
+
+    Parity: ref:Common/model_utils.py:210-237 (``get_perulsion_loss``,
+    the reference's spelling) — kNN or ball neighborhoods, the 4 nearest
+    non-self (squared or L1) distances, h = 2√0.001 (L1) or 0.01 (L2),
+    loss = mean(max(0, h − d)).
+    """
+    if use_knn:
+        _, idx = knn(nsample, pred, pred)
+    else:
+        idx, _ = query_ball_point(radius, nsample, pred, pred)
+    grouped = group_point(pred, idx) - pred[:, :, None, :]
+    dists = jnp.sum(grouped**2, axis=-1)
+    if use_l1:
+        dists = jnp.sqrt(dists + 1e-12)
+    neg_top, _ = jax.lax.top_k(-dists, 5)
+    val = neg_top[:, :, 1:]
+    h = math.sqrt(0.001) * 2 if use_l1 else 0.01
+    return jnp.mean(jnp.maximum(0.0, h + val))
+
+
+get_perulsion_loss = perulsion_loss  # the reference's spelling
+
+
+def cd_loss2(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    forward_weight: float = 1.0,
+    threshold: float | None = 100.0,
+) -> jnp.ndarray:
+    """Chamfer without radius normalization.
+
+    Parity: ref:Common/model_utils.py:239-266 (``get_cd_loss2``) —
+    identical to :func:`chamfer` with radius = 1 and a default outlier
+    threshold of 100× the per-cloud mean.
+    """
+    return chamfer(
+        pred, gt, radius=1.0, forward_weight=forward_weight,
+        threshold=threshold,
+    )
+
+
+def uniform_knn(pred: jnp.ndarray) -> jnp.ndarray:
+    """Variance-of-kNN-spacing uniformity statistic.
+
+    Parity: ref:Common/model_utils.py:325-333 (``get_uniform_loss_knn``) —
+    6-NN squared distances; variance over points of the per-point mean
+    spacing, plus the summed per-point variance over the 6 neighbors.
+    """
+    d, _ = knn(6, pred, pred)
+    mean = jnp.mean(d, axis=2)            # (b, n)
+    variance1 = jnp.sum(jnp.var(mean, axis=1))
+    variance2 = jnp.sum(jnp.var(d, axis=2))
+    return variance1 + variance2

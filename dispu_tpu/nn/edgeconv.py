@@ -58,6 +58,16 @@ class DenseEdgeBlock(nn.Module):
     Channel growth for (growth=g, n=3, c_in): output = 2g + g + c_in... the
     exact sequence is [conv(g)‖center, conv(g)‖prev, conv(g,no-act)‖prev]
     → g·3 + c_in channels after max-pool.
+
+    ``variant`` selects the sibling graphs:
+      * ``"default"`` — ``dense_conv`` (above).
+      * ``"v0"`` — ``dense_conv0`` (ref:Common/ops.py:1879-1895): layer 0
+        does NOT concat the center feature (output g·1 at i=0, then dense
+        concats; final channels g·3 + g at n=3... precisely g + (n−1)·g
+        accumulated = n·g after the chain, without the c_in term).
+      * ``"v2"`` — ``dense_conv2`` (ref:Common/ops.py:1917-1930): center
+        concat at layer 0 like default, but every layer keeps its ReLU
+        (no linear last layer).
     """
 
     growth_rate: int
@@ -66,6 +76,7 @@ class DenseEdgeBlock(nn.Module):
     use_bn: bool = False
     bn_momentum: float = 0.95
     fast_gather: bool = False
+    variant: str = "default"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -80,20 +91,24 @@ class DenseEdgeBlock(nn.Module):
             gather_impl="onehot" if self.fast_gather else "gather",
         )
         for i in range(self.n):
+            last_linear = self.variant != "v2" and i == self.n - 1
             conv = PointConv(
                 self.growth_rate,
-                activation=None if i == self.n - 1 else nn.relu,
+                activation=None if last_linear else nn.relu,
                 use_bn=self.use_bn,
                 bn_momentum=self.bn_momentum,
                 dtype=self.dtype,
                 name=f"l{i}",
             )
             if i == 0:
-                center = jnp.broadcast_to(
-                    feature[:, :, None, :],
-                    feature.shape[:2] + (y.shape[2], feature.shape[-1]),
-                )
-                y = jnp.concatenate([conv(y, train), center], axis=-1)
+                if self.variant == "v0":
+                    y = conv(y, train)
+                else:
+                    center = jnp.broadcast_to(
+                        feature[:, :, None, :],
+                        feature.shape[:2] + (y.shape[2], feature.shape[-1]),
+                    )
+                    y = jnp.concatenate([conv(y, train), center], axis=-1)
             else:
                 y = jnp.concatenate([conv(y, train), y], axis=-1)
         return jnp.max(y, axis=-2), idx

@@ -102,3 +102,45 @@ def gen_grid(up_ratio: int) -> jnp.ndarray:
     grid_y = jnp.linspace(-0.2, 0.2, num_y)
     x, y = jnp.meshgrid(grid_x, grid_y)
     return jnp.reshape(jnp.stack([x, y], axis=-1), (-1, 2)).astype(jnp.float32)
+
+
+def gen_2d_grid(num_grid_point: int) -> jnp.ndarray:
+    """(num²,2) square grid in [-0.2, 0.2]² (ref:Common/ops.py:93-100)."""
+    x = jnp.linspace(-0.2, 0.2, num_grid_point)
+    gx, gy = jnp.meshgrid(x, x)
+    return jnp.reshape(jnp.stack([gx, gy], axis=-1), (-1, 2)).astype(
+        jnp.float32
+    )
+
+
+def gen_1d_grid(num_grid_point: int) -> jnp.ndarray:
+    """(1, num) line code in [-0.02, 0.02] (ref:Common/ops.py:102-108)."""
+    return jnp.linspace(-0.02, 0.02, num_grid_point, dtype=jnp.float32)[
+        None, :
+    ]
+
+
+def covariance_matrix(pc: jnp.ndarray):
+    """Per-neighborhood barycenter + 3×3 covariance.
+
+    Parity: ref:Common/model_utils.py:17-29 — pc (b, p, k, 3) →
+    barycenter (b, p, 1, 3), covariance = centeredᵀ·centered (b, p, 3, 3).
+    """
+    barycenter = jnp.mean(pc, axis=2, keepdims=True)
+    centered = pc - barycenter
+    cov = jnp.einsum("bpki,bpkj->bpij", centered, centered)
+    return barycenter, cov
+
+
+def exponential_distance(query: jnp.ndarray, points: jnp.ndarray):
+    """Squared distances + a self-calibrated RBF affinity.
+
+    Parity: ref:Common/model_utils.py:31-45 — query/points (b, p, k, 3)
+    broadcastable; h = mean over p of the per-row min distance; returns
+    (distance, exp(−d / (h/2))), both (b, p, k, 1).
+    """
+    distance = jnp.sum((query - points) ** 2, axis=-1, keepdims=True)
+    h = jnp.mean(
+        jnp.min(distance, axis=2, keepdims=True), axis=1, keepdims=True
+    )
+    return distance, jnp.exp(-distance / (h / 2.0))

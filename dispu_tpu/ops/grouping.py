@@ -148,3 +148,32 @@ def grouping(
     if use_xyz:
         grouped_feature = jnp.concatenate([grouped_xyz, grouped_feature], axis=-1)
     return grouped_xyz, grouped_feature, idx
+
+
+def dilat_group(
+    xyz: jnp.ndarray,
+    points: jnp.ndarray | None,
+    k: int,
+    dilation: int = 1,
+    use_xyz: bool = False,
+):
+    """Dilated kNN grouping: every ``dilation``-th of the k·d+1 nearest.
+
+    Parity: ref:Common/ops.py:139-152 — kNN with ``k·dilation + 1``
+    neighbors, stride-``dilation`` selection starting after the self
+    column, centered xyz; optionally concat centered xyz onto features.
+
+    Returns (grouped_xyz, grouped_points, idx) with grouped_xyz centered.
+    """
+    _, idx_full = knn(k * dilation + 1, xyz, xyz)
+    idx = idx_full[:, :, 1::dilation]
+    grouped_xyz = group_point(xyz, idx) - xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = group_point(points, idx)
+        if use_xyz:
+            grouped_points = jnp.concatenate(
+                [grouped_xyz, grouped_points], axis=-1
+            )
+    else:
+        grouped_points = grouped_xyz
+    return grouped_xyz, grouped_points, idx
