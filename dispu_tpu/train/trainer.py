@@ -4,6 +4,13 @@ Replaces ref:DisPU/model.py (the Model class: build graph + train loop +
 saver) with a functional loop over the jitted train step.  One epoch is
 ``len(dataset) // batch_size`` full batches (the reference dropped batch 0
 and the tail, ref:DisPU/model.py:239 + dataset.py:113-119 — fixed here).
+
+``BaseTrainer`` carries everything the two experiment drivers share —
+device-resident batching, crash checkpointing, source backup, profiler,
+periodic visualization, metric meters, best-CD checkpoint schedule — and
+the CD-only :class:`Trainer` and the GAN driver
+(:class:`~dispu_tpu.train.gan_trainer.GANTrainer`) plug in their state
+factory, step function, and log line.
 """
 
 from __future__ import annotations
@@ -11,7 +18,7 @@ from __future__ import annotations
 import math
 import os
 import time
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
@@ -42,7 +49,12 @@ def jnp_asarray(x):
     return jnp.asarray(np.asarray(x))
 
 
-class Trainer:
+class BaseTrainer:
+    """Shared experiment-driver machinery (see module docstring)."""
+
+    #: metric keys averaged into the per-epoch log line
+    epoch_metric_keys: Sequence[str] = ()
+
     def __init__(
         self,
         cfg: ExperimentConfig,
@@ -57,59 +69,36 @@ class Trainer:
             random_input=cfg.data.random_input,
         )
         self.mesh = make_mesh() if (use_mesh and len(jax.devices()) > 1) else None
-        self.train_step = make_train_step(cfg, mesh=self.mesh)
+        self.train_step = self._make_step()
         self.logger = MetricsLogger(cfg.log_dir)
         self._eval_step = None  # built lazily for visualization
         dump_args(cfg.log_dir, cfg)
         if cfg.train.backup_sources:
             backup_sources(cfg.log_dir)
 
-    def _visualize(self, state, gt, radius, step: int, epoch: int):
-        """Periodic 3-view renders of input/coarse/fine/gt.
+    # ------------------------------------------------------------- hooks
 
-        Parity: ref:DisPU/model.py:265-292 (image summary every
-        steps_per_print, matplotlib plot every steps_per_visu when enabled).
-        """
-        from dispu_tpu.data.augment import sample_nonuniform_inputs
-        from dispu_tpu.train.steps import make_eval_step
-        from dispu_tpu.utils.visu import plot_pcd_three_views, point_cloud_three_views
+    def _make_step(self):
+        raise NotImplementedError
 
-        if self._eval_step is None:
-            self._eval_step = make_eval_step(self.cfg)
-        key = jax.random.PRNGKey(step)
-        inputs = sample_nonuniform_inputs(
-            key, jnp_asarray(gt), self.cfg.generator.num_points
-        )
-        coarse, fine, _ = self._eval_step(
-            state.variables(), inputs, jnp_asarray(gt), jnp_asarray(radius)
-        )
-        pcds = [
-            np.asarray(inputs[0]),
-            np.asarray(coarse[0]),
-            np.asarray(fine[0]),
-            np.asarray(gt[0]),
-        ]
-        titles = ["input_x", "coarse", "fine", "gt"]
-        if self.logger._tb is not None:
-            img = np.concatenate(
-                [point_cloud_three_views(p, canvas_size=250) for p in pcds],
-                axis=0,
-            )
-            self.logger._tb.add_image(
-                "Upsampling", img[None], step, dataformats="CHW"
-            )
-        plots = os.path.join(self.cfg.log_dir, "plots")
-        os.makedirs(plots, exist_ok=True)
-        plot_pcd_three_views(
-            os.path.join(plots, f"epoch_{epoch}_step_{step}.png"), pcds, titles
-        )
+    def _make_state(self):
+        raise NotImplementedError
+
+    def _gen_variables(self, state):
+        """The generator's inference variables (for visualization)."""
+        raise NotImplementedError
+
+    def _format_epoch(self, epoch: int, meters, minutes: float) -> str:
+        raise NotImplementedError
+
+    @staticmethod
+    def _state_step(state) -> int:
+        return int(jax.device_get(state.step))
+
+    # ------------------------------------------------------------ shared
 
     def init_state(self, restore: bool = False):
-        state = create_generator_state(
-            jax.random.PRNGKey(self.cfg.train.seed),
-            self.cfg.generator,
-            self.cfg.train,
-        )
+        state = self._make_state()
         start_epoch = 0
         if restore:
             epoch, path = latest_checkpoint(self.cfg.log_dir)
@@ -159,6 +148,47 @@ class Trainer:
             for gt, _inputs, radius in self.dataset.epoch(batch_size):
                 yield gt, radius
 
+    def _visualize(self, state, gt, radius, step: int, epoch: int):
+        """Periodic 3-view renders of input/coarse/fine/gt.
+
+        Parity: ref:DisPU/model.py:265-292 (image summary every
+        steps_per_print, matplotlib plot every steps_per_visu when enabled).
+        """
+        from dispu_tpu.data.augment import sample_nonuniform_inputs
+        from dispu_tpu.train.steps import make_eval_step
+        from dispu_tpu.utils.visu import plot_pcd_three_views, point_cloud_three_views
+
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.cfg)
+        key = jax.random.PRNGKey(step)
+        inputs = sample_nonuniform_inputs(
+            key, jnp_asarray(gt), self.cfg.generator.num_points
+        )
+        coarse, fine, _ = self._eval_step(
+            self._gen_variables(state), inputs, jnp_asarray(gt),
+            jnp_asarray(radius)
+        )
+        pcds = [
+            np.asarray(inputs[0]),
+            np.asarray(coarse[0]),
+            np.asarray(fine[0]),
+            np.asarray(gt[0]),
+        ]
+        titles = ["input_x", "coarse", "fine", "gt"]
+        if self.logger._tb is not None:
+            img = np.concatenate(
+                [point_cloud_three_views(p, canvas_size=250) for p in pcds],
+                axis=0,
+            )
+            self.logger._tb.add_image(
+                "Upsampling", img[None], step, dataformats="CHW"
+            )
+        plots = os.path.join(self.cfg.log_dir, "plots")
+        os.makedirs(plots, exist_ok=True)
+        plot_pcd_three_views(
+            os.path.join(plots, f"epoch_{epoch}_step_{step}.png"), pcds, titles
+        )
+
     def _train_loop(
         self, state, start_epoch: int, epochs: Optional[int] = None
     ):
@@ -168,7 +198,7 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.train.seed + 1)
         best_fine_cd = math.inf
         timer = StepTimer()
-        step = int(state.step)
+        step = self._state_step(state)
 
         for epoch_i in range(start_epoch, total_epochs):
             # metric sums accumulate on device so the step loop never blocks
@@ -205,10 +235,7 @@ class Trainer:
                         and step % cfg.train.steps_per_visu == 0
                     ):
                         self._visualize(state, gt, radius, step, epoch_i)
-            meters = {
-                k: AverageMeter()
-                for k in ("total", "coarse_cd", "fine_cd", "coarse_hd", "fine_hd")
-            }
+            meters = {k: AverageMeter() for k in self.epoch_metric_keys}
             if metric_sums is not None:
                 host_sums = jax.device_get(metric_sums)
                 for k in meters:
@@ -216,21 +243,10 @@ class Trainer:
                         meters[k].update(float(host_sums[k]) / n_metric)
 
             state = state.next_epoch()
+            self._last_state = state
             epoch = epoch_i + 1
             dur = time.time() - t0
-            self.logger.text(
-                "epoch %04d g_loss=%.9f coarse_cd=%.9f coarse_hd=%.9f "
-                "fine_cd=%.9f fine_hd=%.9f time=%.4f"
-                % (
-                    epoch,
-                    meters["total"].avg,
-                    meters["coarse_cd"].avg,
-                    meters["coarse_hd"].avg,
-                    meters["fine_cd"].avg,
-                    meters["fine_hd"].avg,
-                    dur / 60.0,
-                )
-            )
+            self.logger.text(self._format_epoch(epoch, meters, dur / 60.0))
             # save on schedule when fine-CD improved (ref:DisPU/model.py:224-227)
             if epoch % cfg.train.epoch_per_save == 0 and (
                 meters["fine_cd"].avg < best_fine_cd
@@ -239,3 +255,40 @@ class Trainer:
                 save_checkpoint(cfg.log_dir, state, epoch)
 
         return state
+
+
+class Trainer(BaseTrainer):
+    """CD-path experiment driver (parity: ref:DisPU/model.py)."""
+
+    epoch_metric_keys = (
+        "total", "coarse_cd", "fine_cd", "coarse_hd", "fine_hd", "offset_mean"
+    )
+
+    def _make_step(self):
+        return make_train_step(self.cfg, mesh=self.mesh)
+
+    def _make_state(self):
+        return create_generator_state(
+            jax.random.PRNGKey(self.cfg.train.seed),
+            self.cfg.generator,
+            self.cfg.train,
+        )
+
+    def _gen_variables(self, state):
+        return state.variables()
+
+    def _format_epoch(self, epoch, meters, minutes):
+        return (
+            "epoch %04d g_loss=%.9f coarse_cd=%.9f coarse_hd=%.9f "
+            "fine_cd=%.9f fine_hd=%.9f offset=%.6f time=%.4f"
+            % (
+                epoch,
+                meters["total"].avg,
+                meters["coarse_cd"].avg,
+                meters["coarse_hd"].avg,
+                meters["fine_cd"].avg,
+                meters["fine_hd"].avg,
+                meters["offset_mean"].avg,
+                minutes,
+            )
+        )
