@@ -4,6 +4,7 @@ evaluate.py + CGAL binary (ref:evaluation_code/evaluation.cpp)."""
 from dispu_tpu.evaluation.meshio import read_off, read_xyz, write_xyz
 from dispu_tpu.evaluation.metrics import (
     cd_hd,
+    geodesic_distances,
     point_to_mesh_distance,
     uniformity_measure,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "read_xyz",
     "write_xyz",
     "cd_hd",
+    "geodesic_distances",
     "point_to_mesh_distance",
     "uniformity_measure",
     "evaluate_dirs",

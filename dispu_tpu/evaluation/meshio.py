@@ -133,10 +133,16 @@ def mesh_face_areas(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
 
 
 def sample_mesh_surface(
-    verts: np.ndarray, faces: np.ndarray, n: int, seed: int = 0
-) -> np.ndarray:
+    verts: np.ndarray,
+    faces: np.ndarray,
+    n: int,
+    seed: int = 0,
+    return_faces: bool = False,
+):
     """Area-weighted uniform surface samples (the CGAL binary's random seed
-    generator, ref:evaluation_code/evaluation.cpp:230-248)."""
+    generator, ref:evaluation_code/evaluation.cpp:230-248).  With
+    ``return_faces`` also returns each sample's source face index (the
+    ``Face_location`` analog for geodesic disks)."""
     rng = np.random.RandomState(seed)
     areas = mesh_face_areas(verts, faces)
     probs = areas / areas.sum()
@@ -147,8 +153,11 @@ def sample_mesh_surface(
     u = np.where(flip, 1.0 - u, u)
     v = np.where(flip, 1.0 - v, v)
     tri = verts[faces[fi]]
-    return (
+    pts = (
         tri[:, 0]
         + u * (tri[:, 1] - tri[:, 0])
         + v * (tri[:, 2] - tri[:, 0])
     ).astype(np.float32)
+    if return_faces:
+        return pts, fi.astype(np.int32)
+    return pts

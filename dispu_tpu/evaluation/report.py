@@ -23,6 +23,7 @@ from dispu_tpu.evaluation.meshio import (
 )
 from dispu_tpu.evaluation.metrics import (
     cd_hd,
+    geodesic_distances,
     point_to_mesh_distance,
     uniformity_measure,
 )
@@ -36,6 +37,7 @@ def evaluate_pair(
     gt_path: str,
     mesh_path: Optional[str] = None,
     num_disk_seeds: int = NUM_DISK_SEEDS,
+    geodesic: bool = True,
 ) -> dict:
     import jax.numpy as jnp
 
@@ -49,13 +51,26 @@ def evaluate_pair(
     }
     if mesh_path and os.path.isfile(mesh_path):
         verts, faces = read_off(mesh_path)
-        d, mapped = point_to_mesh_distance(pred, verts, faces)
+        d, mapped, point_faces = point_to_mesh_distance(
+            pred, verts, faces, return_faces=True
+        )
         row["p2f avg"] = float(np.nanmean(d))
         row["p2f std"] = float(np.nanstd(d))
         row["_p2f"] = d
         area = float(mesh_face_areas(verts, faces).sum())
-        seeds = sample_mesh_surface(verts, faces, num_disk_seeds)
-        uni = uniformity_measure(mapped, area, seeds, PERCENTAGES)
+        seeds, seed_faces = sample_mesh_surface(
+            verts, faces, num_disk_seeds, return_faces=True
+        )
+        dists = (
+            geodesic_distances(
+                verts, faces, seeds, seed_faces, mapped, point_faces
+            )
+            if geodesic
+            else None
+        )
+        uni = uniformity_measure(
+            mapped, area, seeds, PERCENTAGES, seed_point_dists=dists
+        )
         for i in range(len(PERCENTAGES)):
             row["uniform_%d" % i] = float(uni[i, 0])
     return row
@@ -67,6 +82,7 @@ def evaluate_dirs(
     mesh_dir: Optional[str] = None,
     out_csv: Optional[str] = None,
     num_disk_seeds: int = NUM_DISK_SEEDS,
+    geodesic: bool = True,
 ) -> dict:
     """Evaluate all *.xyz in pred_dir against same-named gt files.
 
@@ -90,7 +106,8 @@ def evaluate_dirs(
         if mesh_dir:
             cand = os.path.join(mesh_dir, base + ".off")
             mesh_path = cand if os.path.isfile(cand) else None
-        row = evaluate_pair(pred_path, gt_path, mesh_path, num_disk_seeds)
+        row = evaluate_pair(pred_path, gt_path, mesh_path, num_disk_seeds,
+                            geodesic=geodesic)
         if "_p2f" in row:
             p2f_all.append(row.pop("_p2f"))
         rows.append(row)

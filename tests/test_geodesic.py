@@ -1,0 +1,171 @@
+"""Geodesic-disk uniformity tests (ref:evaluation_code/evaluation.cpp
+:68-115,259-311 walks geodesic disks via Surface_mesh_shortest_path)."""
+
+import numpy as np
+import pytest
+
+from dispu_tpu.evaluation.metrics import (
+    geodesic_distances,
+    point_to_mesh_distance,
+    uniformity_measure,
+)
+
+
+def icosphere(subdiv: int = 3):
+    """Unit icosphere (vertices on the unit sphere)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int64,
+    )
+    for _ in range(subdiv):
+        cache = {}
+        vlist = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = (vlist[a] + vlist[b]) / 2.0
+                m /= np.linalg.norm(m)
+                cache[key] = len(vlist)
+                vlist.append(m)
+            return cache[key]
+
+        new_faces = []
+        for a, b, c in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [
+                [a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]
+            ]
+        verts = np.asarray(vlist)
+        faces = np.asarray(new_faces, np.int64)
+    return verts.astype(np.float32), faces.astype(np.int32)
+
+
+class TestGeodesicDistances:
+    def test_sphere_matches_arc_oracle_and_beats_euclidean(self):
+        """On a sphere, geodesic = R·θ while euclidean = 2R·sin(θ/2): for
+        r = 2 a point at arc 2.2 (chord 1.78) is euclidean-inside but
+        geodesic-outside.  The edge-graph approximation only overestimates,
+        so membership at these margins is unambiguous."""
+        verts, faces = icosphere(3)
+
+        # seed: barycenter of the face nearest the north pole
+        _, seed_pt, seed_face = point_to_mesh_distance(
+            np.asarray([[0.0, 0.0, 1.0]], np.float32), verts, faces,
+            return_faces=True,
+        )
+        seed_dir = seed_pt[0] / np.linalg.norm(seed_pt[0])
+
+        arcs = np.asarray([0.5, 1.2, 1.7, 2.3, 2.8])
+        # place query points at the given arc distances from the seed
+        axis = np.cross(seed_dir, [1.0, 0.0, 0.0])
+        axis /= np.linalg.norm(axis)
+        pts = []
+        for theta in arcs:
+            p = seed_dir * np.cos(theta) + np.cross(axis, seed_dir) * np.sin(
+                theta
+            )
+            pts.append(p)
+        pts = np.asarray(pts, np.float32)
+        _, mapped, point_faces = point_to_mesh_distance(
+            pts, verts, faces, return_faces=True
+        )
+
+        d = geodesic_distances(
+            verts, faces, seed_pt, seed_face, mapped, point_faces
+        )[0]
+        # oracle: arc distance on the sphere (graph overestimates by < 10%)
+        oracle = np.arccos(
+            np.clip(mapped @ seed_dir / np.linalg.norm(mapped, axis=1), -1, 1)
+        )
+        assert np.all(d >= oracle - 0.02), (d, oracle)
+        # worst-direction lattice detour on the icosphere ≈ 1.13
+        assert np.all(d <= oracle * 1.15 + 0.05), (d, oracle)
+
+        r = 2.0
+        geo_count = int(np.sum(d < r))
+        euc = np.linalg.norm(mapped - seed_pt[0], axis=1)
+        euc_count = int(np.sum(euc < r))
+        oracle_count = int(np.sum(oracle < r))
+        assert geo_count == oracle_count == 3
+        assert euc_count == 5  # euclidean disks overcount on curved meshes
+
+    def test_flat_mesh_geodesic_equals_euclidean(self):
+        """On a planar mesh the geodesic IS the euclidean distance; the
+        graph approximation must stay within a few percent."""
+        n = 9
+        xs, ys = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n))
+        verts = np.stack(
+            [xs.ravel(), ys.ravel(), np.zeros(n * n)], axis=1
+        ).astype(np.float32)
+        faces = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                v = i * n + j
+                faces += [[v, v + 1, v + n], [v + 1, v + n + 1, v + n]]
+        faces = np.asarray(faces, np.int32)
+
+        seeds = np.asarray([[0.05, 0.05, 0.0]], np.float32)
+        _, seed_pt, seed_face = point_to_mesh_distance(
+            seeds, verts, faces, return_faces=True
+        )
+        rng = np.random.RandomState(0)
+        pts = np.concatenate(
+            [rng.rand(32, 2), np.zeros((32, 1))], axis=1
+        ).astype(np.float32)
+        _, mapped, point_faces = point_to_mesh_distance(
+            pts, verts, faces, return_faces=True
+        )
+        d = geodesic_distances(
+            verts, faces, seed_pt, seed_face, mapped, point_faces
+        )[0]
+        euc = np.linalg.norm(mapped - seed_pt[0], axis=1)
+        assert np.all(d >= euc - 1e-5)
+        # multiplicative lattice detour ≤ ~1.08 plus an O(edge) additive
+        # term at short range (edge diag = 0.177 here)
+        assert np.all(d <= euc * 1.12 + 0.08), (d - euc * 1.12).max()
+
+    def test_uniformity_measure_accepts_geodesic_dists(self):
+        verts, faces = icosphere(2)
+        rng = np.random.RandomState(1)
+        pts = rng.randn(256, 3).astype(np.float32)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        _, mapped, point_faces = point_to_mesh_distance(
+            pts, verts, faces, return_faces=True
+        )
+        from dispu_tpu.evaluation.meshio import (
+            mesh_face_areas,
+            sample_mesh_surface,
+        )
+
+        seeds, seed_faces = sample_mesh_surface(
+            verts, faces, 64, return_faces=True
+        )
+        area = float(mesh_face_areas(verts, faces).sum())
+        dists = geodesic_distances(
+            verts, faces, seeds, seed_faces, mapped, point_faces
+        )
+        geo = uniformity_measure(
+            mapped, area, seeds, (0.008, 0.012), seed_point_dists=dists
+        )
+        euc = uniformity_measure(mapped, area, seeds, (0.008, 0.012))
+        assert np.all(np.isfinite(geo))
+        # at these small disk radii the sphere is locally flat: the two
+        # measures agree in magnitude but are not the same statistic
+        assert np.all(geo > 0)
+        assert np.all(euc > 0)
