@@ -40,12 +40,14 @@ def read_off(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return verts, np.asarray(faces, np.int32)
 
 
-def read_ply(path: str) -> np.ndarray:
+def read_ply(path: str, return_attributes: bool = False):
     """Read vertex positions from an ASCII or binary_little_endian PLY.
 
     Self-contained (the environment has no plyfile/open3d); covers the
     point-cloud PLYs the reference tooling reads/writes
-    (ref:Common/pc_util.py:276-459).
+    (ref:Common/pc_util.py:276-459).  With ``return_attributes`` also
+    returns {'normals': (n,3) f32, 'colors': (n,3) u8} for whichever of
+    nx/ny/nz and red/green/blue the file carries.
     """
     with open(path, "rb") as f:
         header = []
@@ -92,27 +94,123 @@ def read_ply(path: str) -> np.ndarray:
                 [raw[n].astype(np.float64) for n in names], axis=-1
             )
         cols = [names.index(c) for c in ("x", "y", "z")]
-        return data[:, cols].astype(np.float32)
+        pts = data[:, cols].astype(np.float32)
+        if not return_attributes:
+            return pts
+        attrs = {}
+        if all(n in names for n in ("nx", "ny", "nz")):
+            nc = [names.index(c) for c in ("nx", "ny", "nz")]
+            attrs["normals"] = data[:, nc].astype(np.float32)
+        if all(n in names for n in ("red", "green", "blue")):
+            cc = [names.index(c) for c in ("red", "green", "blue")]
+            attrs["colors"] = data[:, cc].astype(np.uint8)
+        return pts, attrs
 
 
-def write_ply(path: str, points: np.ndarray) -> None:
-    """Write a point cloud as ASCII PLY (vertex x y z)."""
+def write_ply(
+    path: str,
+    points: np.ndarray,
+    normals: np.ndarray | None = None,
+    colors: np.ndarray | None = None,
+) -> None:
+    """Write a point cloud as ASCII PLY (vertex x y z), optionally with
+    per-point normals (float nx ny nz) and colors (uchar red green blue).
+
+    Parity: ref:Common/pc_util.py:337-388 (``save_ply`` with normals /
+    colors via plyfile).
+    """
+    points = np.asarray(points, np.float32)
+    header = ["ply", "format ascii 1.0", "element vertex %d" % len(points),
+              "property float x", "property float y", "property float z"]
+    if normals is not None:
+        normals = np.asarray(normals, np.float32)
+        header += ["property float nx", "property float ny",
+                   "property float nz"]
+    if colors is not None:
+        colors = np.clip(np.asarray(colors), 0, 255).astype(np.uint8)
+        header += ["property uchar red", "property uchar green",
+                   "property uchar blue"]
+    with open(path, "w") as f:
+        f.write("\n".join(header) + "\nend_header\n")
+        for i, p in enumerate(points):
+            row = "%.6f %.6f %.6f" % (p[0], p[1], p[2])
+            if normals is not None:
+                row += " %.6f %.6f %.6f" % tuple(normals[i])
+            if colors is not None:
+                row += " %d %d %d" % tuple(colors[i])
+            f.write(row + "\n")
+
+
+def read_pcd(path: str) -> np.ndarray:
+    """Read xyz from a PCD v0.7 file (ascii or binary).
+
+    Parity: ref:Common/pc_util.py:422-436 (``read_pcd`` via open3d — not
+    shipped here, so this is a self-contained parser).  Only the x/y/z
+    fields are returned, matching the reference's usage.
+    """
+    with open(path, "rb") as f:
+        header = {}
+        while True:
+            line = f.readline().decode("ascii", "replace").strip()
+            if line.startswith("#") or not line:
+                continue
+            key, _, rest = line.partition(" ")
+            header[key.upper()] = rest.split()
+            if key.upper() == "DATA":
+                break
+        fields = header["FIELDS"]
+        sizes = [int(s) for s in header["SIZE"]]
+        types = header["TYPE"]
+        counts = [int(c) for c in header.get("COUNT", ["1"] * len(fields))]
+        n = int(header["POINTS"][0])
+        mode = header["DATA"][0].lower()
+        np_type = {("F", 4): "f4", ("F", 8): "f8", ("I", 1): "i1",
+                   ("I", 2): "i2", ("I", 4): "i4", ("U", 1): "u1",
+                   ("U", 2): "u2", ("U", 4): "u4"}
+        if mode == "ascii":
+            data = np.loadtxt(f, dtype=np.float64, max_rows=n)
+            data = np.atleast_2d(data)
+            col = 0
+            cols = {}
+            for name, c in zip(fields, counts):
+                cols[name] = col
+                col += c
+            xyz = data[:, [cols["x"], cols["y"], cols["z"]]]
+            return xyz.astype(np.float32)
+        if mode != "binary":
+            raise ValueError(f"unsupported PCD data mode: {mode}")
+        dt = []
+        for name, size, typ, cnt in zip(fields, sizes, types, counts):
+            base = "<" + np_type[(typ, size)]
+            dt.append((name, base, (cnt,)) if cnt > 1 else (name, base))
+        dtype = np.dtype(dt)
+        raw = np.frombuffer(f.read(n * dtype.itemsize), dtype=dtype, count=n)
+        return np.stack(
+            [raw["x"], raw["y"], raw["z"]], axis=-1
+        ).astype(np.float32)
+
+
+def save_pcd(path: str, points: np.ndarray) -> None:
+    """Write xyz as ASCII PCD v0.7 (ref:Common/pc_util.py:438-459)."""
     points = np.asarray(points, np.float32)
     with open(path, "w") as f:
         f.write(
-            "ply\nformat ascii 1.0\nelement vertex %d\n"
-            "property float x\nproperty float y\nproperty float z\n"
-            "end_header\n" % len(points)
+            "# .PCD v0.7 - Point Cloud Data file format\n"
+            "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+            "COUNT 1 1 1\nWIDTH %d\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\n"
+            "POINTS %d\nDATA ascii\n" % (len(points), len(points))
         )
         for p in points:
             f.write("%.6f %.6f %.6f\n" % (p[0], p[1], p[2]))
 
 
 def load_points(path: str) -> np.ndarray:
-    """Load a point cloud by extension (.xyz/.txt/.ply) —
+    """Load a point cloud by extension (.xyz/.txt/.ply/.pcd) —
     ref:Common/pc_util.py ``load`` dispatcher equivalent."""
     if path.endswith(".ply"):
         return read_ply(path)
+    if path.endswith(".pcd"):
+        return read_pcd(path)
     return read_xyz(path)[:, :3]
 
 

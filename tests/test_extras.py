@@ -41,6 +41,46 @@ class TestPlyIO:
         write_xyz(path, pts)
         np.testing.assert_allclose(load_points(path), pts, atol=1e-5)
 
+    def test_ply_attributes_roundtrip(self, rng, tmp_path):
+        from dispu_tpu.evaluation.meshio import read_ply, write_ply
+
+        pts = rng.randn(16, 3).astype(np.float32)
+        normals = rng.randn(16, 3).astype(np.float32)
+        colors = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        path = str(tmp_path / "attr.ply")
+        write_ply(path, pts, normals=normals, colors=colors)
+        back, attrs = read_ply(path, return_attributes=True)
+        np.testing.assert_allclose(back, pts, atol=1e-5)
+        np.testing.assert_allclose(attrs["normals"], normals, atol=1e-5)
+        np.testing.assert_array_equal(attrs["colors"], colors)
+
+    def test_pcd_ascii_roundtrip(self, rng, tmp_path):
+        from dispu_tpu.evaluation.meshio import (
+            load_points,
+            read_pcd,
+            save_pcd,
+        )
+
+        pts = rng.randn(12, 3).astype(np.float32)
+        path = str(tmp_path / "c.pcd")
+        save_pcd(path, pts)
+        np.testing.assert_allclose(read_pcd(path), pts, atol=1e-5)
+        np.testing.assert_allclose(load_points(path), pts, atol=1e-5)
+
+    def test_pcd_binary(self, rng, tmp_path):
+        from dispu_tpu.evaluation.meshio import read_pcd
+
+        pts = rng.randn(8, 3).astype(np.float32)
+        path = str(tmp_path / "b.pcd")
+        with open(path, "wb") as f:
+            f.write(
+                b"VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                b"COUNT 1 1 1\nWIDTH 8\nHEIGHT 1\n"
+                b"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 8\nDATA binary\n"
+            )
+            f.write(pts.astype("<f4").tobytes())
+        np.testing.assert_allclose(read_pcd(path), pts, atol=1e-6)
+
 
 class TestExtraLosses:
     def test_l1_and_classify(self):
