@@ -22,12 +22,60 @@ import numpy as np
 BASELINE_PATCHES_PER_SEC = 50.0  # estimated reference V100 batch-1 pipeline
 
 
+def parity_guard():
+    """On-chip correctness assertions recorded with every bench session:
+    the Pallas kernels and the one-hot MXU gather must be bit-identical to
+    their XLA-reference paths on the real hardware (interpret-mode tests
+    in CI cannot prove on-chip behavior).  Prints a 'parity ...' line;
+    raises on any mismatch (failing the bench run loudly)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dispu_tpu.ops.grouping import group_point
+    from dispu_tpu.ops.knn import knn
+    from dispu_tpu.ops.pallas_kernels import fps_pallas, knn_pallas
+    from dispu_tpu.ops.sampling import _fps_xla
+
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.randn(4, 1024, 3), jnp.float32)
+
+    # kNN: fused Pallas kernel vs XLA matmul+top_k (bit-equal indices)
+    d_x, i_x = jax.jit(lambda p: knn(16, p, p, impl="xla"))(pts)
+    d_p, i_p = jax.jit(lambda p: knn_pallas(16, p, p))(pts)
+    knn_ok = bool(
+        jnp.array_equal(i_x, i_p) and jnp.array_equal(d_x, d_p)
+    )
+
+    # FPS: VMEM-resident Pallas kernel vs XLA loop (bit-equal indices)
+    f_x = jax.jit(lambda p: _fps_xla(256, p))(pts)
+    f_p = jax.jit(lambda p: fps_pallas(256, p))(pts)
+    fps_ok = bool(jnp.array_equal(f_x, f_p))
+
+    # one-hot MXU gather at HIGHEST precision vs native gather (bit-equal
+    # values) at the refiner's neighborhood scale
+    feats = jnp.asarray(rng.randn(4, 1024, 131), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, 1024, (4, 1024, 16)), jnp.int32)
+    g_ref = jax.jit(lambda f, i: group_point(f, i))(feats, idx)
+    g_hp = jax.jit(lambda f, i: group_point(f, i, impl="onehot_hp"))(
+        feats, idx
+    )
+    hp_ok = bool(jnp.array_equal(g_ref, g_hp))
+
+    print(
+        "parity knn_pallas=%s fps_pallas=%s onehot_hp_gather=%s"
+        % tuple("ok" if b else "MISMATCH" for b in (knn_ok, fps_ok, hp_ok))
+    )
+    assert knn_ok and fps_ok and hp_ok, "on-chip kernel parity failed"
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     from dispu_tpu.config import GeneratorConfig
     from dispu_tpu.models.generator import DisPUGenerator
+
+    parity_guard()
 
     # 4x: 256 -> 1024, in the turbo inference configuration: one-hot MXU
     # neighborhood gathers in the refiner (output dev ≤2e-4) and backbone

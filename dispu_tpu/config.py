@@ -40,6 +40,12 @@ class GeneratorConfig:
     # one-hot MXU feature gathers (bf16-rounded values):
     fast_gather: bool = False           # refiner only — output dev ≤2e-4
     fast_gather_backbone: bool = False  # + backbone — dev ~1e-2, fastest
+    # exact-path neighborhood gather: 'onehot_hp' (one-hot MXU contraction
+    # at precision=HIGHEST — bit-identical to the native gather, verified
+    # on-chip by bench.parity_guard; 1587→1983 patches/sec inference,
+    # 58→53 ms train step at batch 28) or 'gather' (native, memory-bound);
+    # used wherever the turbo fast_gather flags are off
+    gather_impl: str = "onehot_hp"
 
     @property
     def num_out_points(self) -> int:

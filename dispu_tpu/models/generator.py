@@ -51,7 +51,8 @@ class DisPUGenerator(nn.Module):
             dense_block=cfg.dense_block,
             dense_n=cfg.dense_n,
             k=cfg.knn,
-            fast_gather=cfg.fast_gather_backbone,
+            gather_impl=("onehot" if cfg.fast_gather_backbone
+                         else cfg.gather_impl),
             name="feature_extraction_coarse",
             **kw,
         )(inputs, train)
@@ -91,7 +92,7 @@ class DisPUGenerator(nn.Module):
             bn_momentum=cfg.bn_momentum,
             use_nonlocal=cfg.use_nonlocal,
             use_local=cfg.use_local,
-            fast_gather=cfg.fast_gather,
+            gather_impl="onehot" if cfg.fast_gather else cfg.gather_impl,
             dtype=self.dtype,
             name="PointShuffle",
         )(coarse, fine_feat, train)

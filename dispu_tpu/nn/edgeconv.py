@@ -75,7 +75,7 @@ class DenseEdgeBlock(nn.Module):
     k: int = 16
     use_bn: bool = False
     bn_momentum: float = 0.95
-    fast_gather: bool = False
+    gather_impl: str = "gather"  # 'gather' | 'onehot' | 'onehot_hp'
     variant: str = "default"
     dtype: Any = jnp.float32
 
@@ -87,8 +87,7 @@ class DenseEdgeBlock(nn.Module):
         idx: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         y, idx = edge_feature(
-            feature, self.k, idx,
-            gather_impl="onehot" if self.fast_gather else "gather",
+            feature, self.k, idx, gather_impl=self.gather_impl
         )
         for i in range(self.n):
             last_linear = self.variant != "v2" and i == self.n - 1
@@ -155,7 +154,7 @@ class FeatureExtractorGCN(nn.Module):
     k: int = 16
     use_bn: bool = False
     bn_momentum: float = 0.95
-    fast_gather: bool = False
+    gather_impl: str = "gather"  # 'gather' | 'onehot' | 'onehot_hp'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,7 +163,7 @@ class FeatureExtractorGCN(nn.Module):
         kw = dict(
             use_bn=self.use_bn, bn_momentum=self.bn_momentum, dtype=self.dtype
         )
-        bkw = dict(fast_gather=self.fast_gather, **kw)
+        bkw = dict(gather_impl=self.gather_impl, **kw)
         feat = PointConv(24, activation=None, name="layer0", **kw)(xyz, train)
         out, _ = DenseEdgeBlock(
             self.growth_rate, self.dense_n, self.k, name="layer1", **bkw

@@ -46,7 +46,9 @@ class PointShuffle2(nn.Module):
     use_nonlocal: bool = True     # 'NL'
     use_local: bool = True        # 'Local'
     refine_point: bool = False
-    fast_gather: bool = False     # one-hot MXU gather for features (bf16)
+    # feature-gather impl: 'gather' | 'onehot' (bf16 MXU) | 'onehot_hp'
+    # (bit-exact MXU, precision=HIGHEST)
+    gather_impl: str = "gather"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,7 +64,7 @@ class PointShuffle2(nn.Module):
         grouped_xyz, grouped_feat, _ = grouping(
             feature, k, xyz, xyz, use_xyz=True, use_knn=self.use_knn,
             radius=self.radius if self.radius is not None else 0.2,
-            gather_impl="onehot" if self.fast_gather else "gather",
+            gather_impl=self.gather_impl,
         )
         centered = grouped_xyz - xyz[:, :, None, :]
         grouped_feat = jnp.concatenate([centered, grouped_feat], axis=-1)

@@ -85,24 +85,38 @@ def group_point(
     Args:
       points: (b, n, c).
       idx: (b, m, nsample) int32 indices into the n axis.
-      impl: 'gather' (exact, default) or 'onehot' — a one-hot matmul that
-        XLA fuses into an MXU pass, ~2.8× faster than the TPU gather for
-        (1024, 16, 128)-scale neighborhoods but bf16-rounds the gathered
-        values (the matmul runs at default precision by design).
+      impl: 'gather' (exact, default), 'onehot' — a bf16 one-hot matmul
+        that XLA fuses into an MXU pass, ~2.8× faster than the TPU gather
+        for (1024, 16, 128)-scale neighborhoods but bf16-rounds the
+        gathered values — or 'onehot_hp' — the same one-hot contraction at
+        ``precision=HIGHEST``: each output element is a dot product with a
+        single 1.0, and the 3-term bf16 decomposition of an f32 operand is
+        exact, so the result is *bit-identical* to the native gather while
+        still running on the MXU (verified on-chip each bench session).
 
     Returns:
       (b, m, nsample, c).
 
     Parity: ref:tf_ops/grouping/tf_grouping_g.cu:38-78; the scatter-add
-    gradient comes from autodiff (deterministic, no atomics) on either path.
+    gradient comes from autodiff (deterministic, no atomics) on every path
+    (the one-hot paths transpose the same matmul).
     """
-    if impl == "onehot":
+    if impl in ("onehot", "onehot_hp"):
         b, n, c = points.shape
         m, k = idx.shape[1], idx.shape[2]
-        onehot = jax.nn.one_hot(idx.reshape(b, m * k), n, dtype=jnp.bfloat16)
-        out = jnp.einsum(
-            "bqn,bnc->bqc", onehot, points.astype(jnp.bfloat16)
-        )
+        if impl == "onehot":
+            onehot = jax.nn.one_hot(
+                idx.reshape(b, m * k), n, dtype=jnp.bfloat16
+            )
+            out = jnp.einsum(
+                "bqn,bnc->bqc", onehot, points.astype(jnp.bfloat16)
+            )
+        else:
+            onehot = jax.nn.one_hot(idx.reshape(b, m * k), n, dtype=points.dtype)
+            out = jnp.einsum(
+                "bqn,bnc->bqc", onehot, points,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         return out.reshape(b, m, k, c).astype(points.dtype)
     return jax.vmap(lambda p, i: p[i])(points, idx)
 
