@@ -1,0 +1,190 @@
+"""Typed configuration for the framework.
+
+Replaces the reference's single global argparse namespace
+(ref:DisPU/configs.py:8-46) and the architecture constants hard-coded
+inside ``Generator.__call__`` (ref:DisPU/generator.py:33-44) with explicit
+dataclasses.  Defaults reproduce the reference's training setup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneratorConfig:
+    """Architecture of the Dis-PU generator (dense generator + refiner).
+
+    Defaults mirror ref:DisPU/generator.py:33-44 and the constants inside
+    the ops it calls.
+    """
+
+    up_ratio: int = 4            # r: points out = r * points in
+    step_ratio: int = 4          # per-pass ratio; 16x = two chained 4x passes
+    num_points: int = 256        # patch size at train time
+    dense_block: int = 4         # GCN dense blocks (ref growth path 24→480)
+    growth_rate: int = 24        # 'filter'
+    dense_n: int = 3             # edge-conv layers per dense block
+    knn: int = 16                # K for feature-space edge conv
+    refine: bool = True          # enable the spatial refiner
+    fine_extractor: bool = False # extra GCN on coarse points (off by default)
+    is_off: bool = True          # refiner regresses a bounded offset
+    refine_nsample: int = 16     # K for the refiner's xyz kNN
+    refine_mlp: Tuple[int, ...] = (128, 128, 256)
+    offset_range: float = 0.5    # sigmoid offset range (ref:Common/ops.py:1106-1108)
+    use_bn: bool = False
+    bn_momentum: float = 0.95    # 'bn_decay'
+    use_nonlocal: bool = True    # NL attention cell in refiner
+    use_local: bool = True       # local weighted pooling in refiner
+    # one-hot MXU feature gathers (bf16-rounded values):
+    fast_gather: bool = False           # refiner only — output dev ≤2e-4
+    fast_gather_backbone: bool = False  # + backbone — dev ~1e-2, fastest
+    # exact-path neighborhood gather: 'onehot_hp' (one-hot MXU contraction
+    # at precision=HIGHEST — bit-identical to the native gather, verified
+    # on-chip by bench.parity_guard; 1587→1983 patches/sec inference,
+    # 58→53 ms train step at batch 28) or 'gather' (native, memory-bound);
+    # used wherever the turbo fast_gather flags are off
+    gather_impl: str = "onehot_hp"
+
+    @property
+    def num_out_points(self) -> int:
+        return self.num_points * self.up_ratio
+
+    @property
+    def num_up_steps(self) -> int:
+        # ref:DisPU/generator.py:51 — round(up_ratio ** (1/step_ratio))
+        return max(1, round(self.up_ratio ** (1.0 / self.step_ratio)))
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminatorConfig:
+    """PointNet++-MSG patch critic (ref:DisPU/discriminator.py:20-37)."""
+
+    divide_ratio: int = 2
+    knn: bool = True
+    downsample_ratio: int = 8    # critic pools to num_point/8 seeds
+    radius_list: Tuple[float, ...] = (0.1, 0.2, 0.4)
+
+    @property
+    def nsample_list(self) -> Tuple[int, ...]:
+        return (8, 16, 24) if self.knn else (16, 32, 64)
+
+    @property
+    def mlp_lists(self) -> Tuple[Tuple[int, ...], ...]:
+        d = self.divide_ratio
+        return (
+            (32 // d, 32 // d, 64 // d),
+            (64 // d, 64 // d, 128 // d),
+            (64 // d, 96 // d, 128 // d),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Loss weights/schedules (ref:DisPU/model.py:52-87, configs.py)."""
+
+    coarse_cd_w: float = 1000.0
+    fine_cd_w: float = 1000.0
+    hd_w: float = 100.0          # tracked metric, not in pu_loss
+    use_repulsion: bool = True
+    repulsion_w: float = 1.0
+    repulsion_nsample: int = 20
+    repulsion_radius: float = 0.07
+    repulsion_h: float = 0.001
+    uniform_w: float = 0.0       # reference computes but does not add by default
+    fidelity_w: float = 100.0    # configs.py default (unused in default loss)
+    gan_w: float = 1.0
+    # weight_fine piecewise schedule: epochs [10,20,30] → [0.01,0.1,0.5,1.0]
+    weight_fine_boundaries: Tuple[float, ...] = (10.0, 20.0, 30.0)
+    weight_fine_values: Tuple[float, ...] = (0.01, 0.1, 0.5, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (ref:DisPU/configs.py:15-40, model.py:158-178)."""
+
+    batch_size: int = 28
+    training_epoch: int = 401
+    base_lr_g: float = 1e-3
+    base_lr_d: float = 1e-4
+    beta1: float = 0.9
+    lr_decay: bool = True
+    decay_step_epochs: int = 30
+    lr_decay_rate: float = 0.7
+    lr_clip: float = 1e-6
+    epoch_per_save: int = 20
+    steps_per_print: int = 50
+    visualize: bool = False      # 'visulize' flag, ref:configs.py:36
+    steps_per_visu: int = 100
+    profile: bool = False        # jax.profiler trace of the first epoch
+    backup_sources: bool = True  # self-copy sources to log_dir (ref:model.py:56-65)
+    gen_update: int = 2          # configs.py default (GAN G steps per D step)
+    seed: int = 0
+    # TPU-specific
+    donate_state: bool = True
+    compute_dtype: str = "float32"  # or "bfloat16" for the NN compute path
+    # keep the whole patch set resident in HBM and ship only batch indices
+    # per step (the PU-GAN set is ~100 MB; per-step host uploads otherwise
+    # serialize the loop, badly so through a remote-dispatch tunnel)
+    device_data: bool = True
+    device_data_max_bytes: int = 2_000_000_000
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset/augmentation (ref:DisPU/dataset.py, configs.py:11-20)."""
+
+    data_dir: str = "data"
+    num_point: int = 256
+    up_ratio: int = 4
+    random_input: bool = True    # nonuniform re-sample input from gt
+    augment: bool = True
+    jitter: bool = False
+    jitter_sigma: float = 0.01
+    jitter_max: float = 0.03
+    scale_low: float = 0.8
+    scale_high: float = 1.2
+
+    @property
+    def h5_path(self) -> str:
+        import os
+
+        return os.path.join(
+            self.data_dir,
+            "PUGAN_poisson_%d_poisson_%d.h5"
+            % (self.num_point, self.num_point * self.up_ratio),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Whole-cloud patch inference (ref:DisPU/model.py:306-381)."""
+
+    final_ratio: int = 4         # 4 or 16
+    step_ratio: int = 4
+    patch_num_point: int = 256
+    patch_num_ratio: int = 3     # seeds = N / patch_size * ratio
+    patch_batch: int = 32        # patches evaluated per device step (TPU win)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for SPMD training (no analog in the reference,
+    which is single-GPU — see SURVEY.md §2.3)."""
+
+    data_axis: str = "data"
+    num_devices: int = 0         # 0 = all available
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    generator: GeneratorConfig = GeneratorConfig()
+    discriminator: DiscriminatorConfig = DiscriminatorConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    data: DataConfig = DataConfig()
+    inference: InferenceConfig = InferenceConfig()
+    mesh: MeshConfig = MeshConfig()
+    use_gan: bool = False
+    log_dir: str = "log"

@@ -1,0 +1,320 @@
+"""Pallas TPU kernels for the hot sequential ops.
+
+Currently:
+  * ``fps_pallas`` — farthest-point sampling.  FPS is inherently sequential
+    in the sample count (ref kernel: tf_ops/sampling/tf_sampling_g.cu:105-170
+    runs m block-wide argmax rounds).  The XLA ``fori_loop`` version round-
+    trips the running min-distance vector through HBM every iteration; this
+    kernel keeps the coordinate rows and the min-distance vector resident in
+    VMEM for the entire loop, so each round is a handful of VPU passes over
+    lanes plus a scalar update — the memory traffic drops from
+    O(m·n) HBM to O(n) once.
+  * ``nn_distance_chunked`` — pure-XLA streaming nearest-neighbor distance
+    for clouds whose full (n, m) matrix would blow HBM (whole-cloud eval).
+
+Correctness of the kernel is tested in interpreter mode on CPU against the
+jnp implementation (tests/test_pallas.py); the jnp path remains the
+fallback on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _make_fps_kernel(npoint: int):
+    def kernel(actual_n_ref, pts_ref, out_ref, mindist_ref):
+        """One grid step = one cloud.  pts (1, 3, n) VMEM; out (1, 1, m_pad)."""
+        n = pts_ref.shape[-1]
+        actual_n = actual_n_ref[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        valid = lane < actual_n
+        m_pad = out_ref.shape[-1]
+        lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+
+        x = pts_ref[0, 0:1, :]
+        y = pts_ref[0, 1:2, :]
+        z = pts_ref[0, 2:3, :]
+
+        # seed with index 0 (ref:tf_sampling_g.cu:114-116)
+        out_ref[0, :, :] = jnp.zeros((1, m_pad), jnp.int32)
+        mindist_ref[:, :] = jnp.where(valid, 1e38, -1.0)
+
+        def body(j, last):
+            # scalar reads of the last-selected point's coordinates
+            px = jnp.max(jnp.where(lane == last, x, -jnp.inf))
+            py = jnp.max(jnp.where(lane == last, y, -jnp.inf))
+            pz = jnp.max(jnp.where(lane == last, z, -jnp.inf))
+            d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+            md = jnp.minimum(mindist_ref[:, :], d)
+            md = jnp.where(valid, md, -1.0)
+            mindist_ref[:, :] = md
+            # first-index argmax (matches jnp.argmax tie-breaking)
+            maxval = jnp.max(md)
+            nxt = jnp.min(jnp.where(md == maxval, lane, n)).astype(jnp.int32)
+            # masked row write (Mosaic rejects scalar stores to VMEM)
+            out_ref[0, :, :] = jnp.where(lane_m == j, nxt, out_ref[0, :, :])
+            return nxt
+
+        jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fps_pallas(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
+    """Farthest-point sampling via a VMEM-resident Pallas kernel.
+
+    Args:
+      npoint: samples per cloud (static).
+      xyz: (b, n, 3) float32.
+      interpret: run in interpreter mode (CPU testing).
+
+    Returns:
+      (b, npoint) int32 indices, first always 0 — identical semantics to
+      ``dispu_tpu.ops.sampling.farthest_point_sample``.
+    """
+    b, n, _ = xyz.shape
+    n_pad = _round_up(max(n, 128), 128)
+    m_pad = _round_up(max(npoint, 128), 128)
+    # indices carry no gradient (ref: NoGradient); stopping tangents here
+    # also keeps reverse-mode linearization away from the pallas_call
+    xyz = jax.lax.stop_gradient(xyz)
+    pts = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (b, 3, n)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, n_pad - n)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, n_pad), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, m_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        _make_fps_kernel(npoint),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
+        interpret=interpret,
+    )(jnp.array([n], jnp.int32), pts)
+    return jax.lax.stop_gradient(out[:, 0, :npoint])
+
+
+def _make_knn_kernel(k: int):
+    """Fused distance + k-smallest selection, entirely in VMEM.
+
+    One grid step = (one cloud, one query tile).  The (tile_m, n) distance
+    tile is computed on the MXU and never leaves VMEM; selection is k
+    rounds of (masked-min, first-index-argmin, mask-out) over the resident
+    tile — replacing XLA's sort-based ``top_k`` lowering, which dominated
+    the generator's runtime (21 ms → ~2 ms for (64, 1024) k=16 on v5e).
+    """
+
+    def kernel(pts_ref, q_ref, bias_ref, idx_ref, dist_ref):
+        p = pts_ref[0]  # (n_pad, c_pad)
+        q = q_ref[0]    # (tm, c_pad)
+        n_pad = p.shape[0]
+        tm = q.shape[0]
+        k_pad = idx_ref.shape[-1]
+
+        p2 = jnp.sum(p * p, axis=1)[None, :]
+        q2 = jnp.sum(q * q, axis=1)[:, None]
+        # HIGHEST precision: neighbor selection needs f32-exact distances
+        # (default single-pass bf16 MXU rounding misranks near neighbors)
+        qp = jnp.dot(
+            q, p.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # MXU
+        d = jnp.maximum(q2 - 2.0 * qp + p2, 0.0) + bias_ref[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, k_pad), 1)
+        idx_ref[0] = jnp.zeros((tm, k_pad), jnp.int32)
+        dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
+
+        def body(j, d):
+            mv = jnp.min(d, axis=1, keepdims=True)               # (tm, 1)
+            sel = jnp.min(
+                jnp.where(d == mv, lane, n_pad), axis=1, keepdims=True
+            )                                                     # (tm, 1)
+            idx_ref[0] = jnp.where(lane_k == j, sel, idx_ref[0])
+            dist_ref[0] = jnp.where(lane_k == j, mv, dist_ref[0])
+            return jnp.where(lane == sel, jnp.inf, d)
+
+        jax.lax.fori_loop(0, k, body, d)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def knn_pallas(
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    column_bias: jnp.ndarray | None = None,
+    tile_m: int = 256,
+    interpret: bool = False,
+):
+    """Exact kNN via the fused Pallas kernel.
+
+    Args:
+      k: neighbors (static).
+      points: (b, n, c) dataset points (n·c·4B + tile·n·4B must fit VMEM —
+        fine for n ≤ ~4096).
+      queries: (b, m, c).
+      column_bias: optional (b, n) additive bias on the distance columns
+        (used for duplicate masking — biased columns sort last).
+      tile_m: query rows per grid step.
+
+    Returns:
+      (sq_dists, idx): (b, m, k) ascending — same semantics as
+      ``dispu_tpu.ops.knn.knn``.
+    """
+    b, n, c = points.shape
+    m = queries.shape[1]
+    n_pad = _round_up(max(n, 128), 128)
+    c_pad = _round_up(max(c, 128), 128)
+    k_pad = _round_up(max(k, 128), 128)
+    tile_m = min(tile_m, _round_up(max(m, 8), 8))
+    m_pad = _round_up(max(m, tile_m), tile_m)
+
+    pts = jnp.zeros((b, n_pad, c_pad), jnp.float32)
+    pts = pts.at[:, :n, :c].set(points.astype(jnp.float32))
+    qs = jnp.zeros((b, m_pad, c_pad), jnp.float32)
+    qs = qs.at[:, :m, :c].set(queries.astype(jnp.float32))
+    bias = jnp.full((b, 1, n_pad), 1e30, jnp.float32)
+    if column_bias is None:
+        bias = bias.at[:, 0, :n].set(0.0)
+    else:
+        bias = bias.at[:, 0, :n].set(column_bias.astype(jnp.float32))
+
+    grid = (b, m_pad // tile_m)
+    idx_out, dist_out = pl.pallas_call(
+        _make_knn_kernel(k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, c_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts, qs, bias)
+    return dist_out[:, :m, :k], idx_out[:, :m, :k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+def knn_pallas_diff(
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    column_bias: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Differentiable wrapper around ``knn_pallas``.
+
+    ``pallas_call`` has no autodiff rule, so without this the fused kernel
+    would fail reverse-mode linearization inside a train step.  The VJP
+    treats the selection as fixed (exactly what autodiff of
+    ``top_k(pairwise)`` produces, and what TF's top_k gradient does in the
+    reference): the distance cotangent flows to the query point and its
+    selected neighbors; the column bias gets no gradient.
+    """
+    return knn_pallas(
+        k,
+        jax.lax.stop_gradient(points),
+        jax.lax.stop_gradient(queries),
+        column_bias,
+        256,
+        interpret,
+    )
+
+
+def _knn_diff_fwd(k, points, queries, column_bias, interpret):
+    dist, idx = knn_pallas_diff(k, points, queries, column_bias, interpret)
+    return (dist, idx), (points, queries, idx)
+
+
+def _knn_diff_bwd(k, interpret, res, cotangents):
+    points, queries, idx = res
+    g_dist, _ = cotangents
+    neighbors = jax.vmap(lambda p, i: p[i])(points, idx)
+    diff = queries[:, :, None, :] - neighbors  # (b, m, k, c)
+    contrib = 2.0 * g_dist[..., None] * diff
+    d_queries = jnp.sum(contrib, axis=2)
+    d_points = jax.vmap(
+        lambda z, i, u: z.at[i.reshape(-1)].add(u.reshape(-1, u.shape[-1]))
+    )(jnp.zeros_like(points), idx, -contrib)
+    d_bias = jnp.zeros(points.shape[:-1], points.dtype)
+    return d_points, d_queries, d_bias
+
+
+knn_pallas_diff.defvjp(_knn_diff_fwd, _knn_diff_bwd)
+
+
+def nn_distance_chunked(xyz1: jnp.ndarray, xyz2: jnp.ndarray, chunk: int = 4096):
+    """Streaming bidirectional NN distance for large clouds.
+
+    Same results as ``dispu_tpu.ops.chamfer.nn_distance`` but never
+    materializes more than (chunk, m) of the distance matrix — use for
+    whole-cloud evaluation where n·m would exceed HBM.  No gradient (eval
+    only).
+    """
+    from dispu_tpu.ops.geometry import pairwise_sq_dist
+
+    def directed(a, b):
+        n = a.shape[1]
+        pad = (-n) % chunk
+        a_pad = jnp.pad(a, ((0, 0), (0, pad), (0, 0))) if pad else a
+        chunks = a_pad.reshape(a.shape[0], -1, chunk, 3)
+
+        def body(carry, ach):
+            d = pairwise_sq_dist(ach, b)  # (b, chunk, m)
+            idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+            nearest = jnp.take_along_axis(
+                b, idx[..., None], axis=-2
+            )
+            dist = jnp.sum((ach - nearest) ** 2, axis=-1)
+            return carry, (dist, idx)
+
+        _, (dist, idx) = jax.lax.scan(
+            body, None, jnp.swapaxes(chunks, 0, 1)
+        )
+        dist = jnp.swapaxes(dist, 0, 1).reshape(a.shape[0], -1)[:, :n]
+        idx = jnp.swapaxes(idx, 0, 1).reshape(a.shape[0], -1)[:, :n]
+        return dist, idx
+
+    d1, i1 = directed(xyz1, xyz2)
+    d2, i2 = directed(xyz2, xyz1)
+    return d1, i1, d2, i2

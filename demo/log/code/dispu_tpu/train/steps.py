@@ -1,0 +1,145 @@
+"""Jitted train/eval step functions (single-chip and mesh-sharded).
+
+Replaces the reference's per-batch ``sess.run([G_optimizers, ...],
+feed_dict)`` hot loop (ref:DisPU/model.py:242-264) — which crossed the
+host/device boundary at least three times per step (feed_dict upload,
+py_func kNN round-trip, scalar fetches) — with one fused XLA program per
+step: on-device nonuniform input sampling + augmentation + forward +
+losses + Adam update, with state buffers donated.
+
+Data parallelism: ``make_train_step(mesh=...)`` returns the same step jitted
+with the batch sharded over the mesh's data axis and the state replicated;
+XLA inserts the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dispu_tpu import losses as L
+from dispu_tpu.config import ExperimentConfig
+from dispu_tpu.data.augment import augment_batch, sample_nonuniform_inputs
+from dispu_tpu.models.generator import DisPUGenerator
+from dispu_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from dispu_tpu.train.state import GeneratorState, adam_transform
+
+
+def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
+    """Build the jitted CD-path train step.
+
+    Step signature: ``(state, gt, radius, key) -> (state, metrics)`` where
+    ``gt`` is the dense patch batch (b, r·n, 3) and the sparse input is
+    derived on device (ref 'random' mode, ref:DisPU/dataset.py:125-130).
+    """
+    model = DisPUGenerator(
+        cfg=cfg.generator, dtype=jnp.dtype(cfg.train.compute_dtype)
+    )
+    tx = adam_transform(cfg.train)
+    n_in = cfg.generator.num_points
+
+    def step(state: GeneratorState, gt, radius, key):
+        k_sample, k_aug = jax.random.split(key)
+        if cfg.data.random_input:
+            inputs = sample_nonuniform_inputs(k_sample, gt, n_in)
+        else:
+            inputs = gt[:, :n_in]
+        if cfg.data.augment:
+            inputs, gt_aug = augment_batch(
+                k_aug,
+                inputs,
+                gt,
+                jitter_sigma=cfg.data.jitter_sigma,
+                jitter_max=cfg.data.jitter_max,
+                scale_low=cfg.data.scale_low,
+                scale_high=cfg.data.scale_high,
+            )
+        else:
+            gt_aug = gt
+
+        weight_fine = L.weight_fine_schedule(
+            state.epoch,
+            cfg.loss.weight_fine_boundaries,
+            cfg.loss.weight_fine_values,
+        )
+        lr = L.lr_schedule(
+            state.epoch,
+            base_lr=cfg.train.base_lr_g,
+            decay_step_epochs=cfg.train.decay_step_epochs,
+            decay_rate=cfg.train.lr_decay_rate,
+            clip=cfg.train.lr_clip,
+        )
+
+        def loss_fn(params):
+            (coarse, fine), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                inputs,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            total, metrics = L.pu_losses(
+                coarse, fine, gt_aug, radius, weight_fine, cfg.loss
+            )
+            return total, (metrics, updates["batch_stats"])
+
+        (total, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr * u, state.params, updates
+        )
+        metrics = dict(metrics, total=total, lr=lr)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(cfg: ExperimentConfig, mesh=None):
+    """Jitted inference + metric step: (variables, inputs, gt, radius) →
+    (coarse, fine, metrics).  Mirrors the reference's is_training=False
+    evaluation fetches (ref:DisPU/model.py:265-292)."""
+    model = DisPUGenerator(
+        cfg=cfg.generator, dtype=jnp.dtype(cfg.train.compute_dtype)
+    )
+
+    def step(variables, inputs, gt, radius):
+        coarse, fine = model.apply(variables, inputs, train=False)
+        off = jnp.sqrt(jnp.sum((fine - coarse) ** 2, axis=-1) + 1e-20)
+        metrics = {
+            "coarse_cd": cfg.loss.coarse_cd_w
+            * L.chamfer(coarse, gt, radius=radius),
+            "fine_cd": cfg.loss.fine_cd_w
+            * L.chamfer(fine, gt, radius=radius),
+            "fine_hd": cfg.loss.hd_w
+            * L.hausdorff(fine, gt, radius=radius),
+            "offset_mean": jnp.mean(off),
+        }
+        return coarse, fine, metrics
+
+    if mesh is None:
+        return jax.jit(step)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data, data),
+        out_shardings=(data, data, repl),
+    )
