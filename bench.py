@@ -31,9 +31,13 @@ def parity_guard():
     import jax
     import jax.numpy as jnp
 
-    from dispu_tpu.ops.grouping import group_point
+    from dispu_tpu.ops.grouping import group_point, query_ball_point
     from dispu_tpu.ops.knn import knn
-    from dispu_tpu.ops.pallas_kernels import fps_pallas, knn_pallas
+    from dispu_tpu.ops.pallas_kernels import (
+        fps_pallas,
+        knn_pallas,
+        query_ball_pallas,
+    )
     from dispu_tpu.ops.sampling import _fps_xla
 
     rng = np.random.RandomState(7)
@@ -61,11 +65,21 @@ def parity_guard():
     )
     hp_ok = bool(jnp.array_equal(g_ref, g_hp))
 
+    # ball query: fused masked-min kernel vs the XLA top_k-over-keys path
+    # (bit-equal indices AND counts — the repulsion/uniform losses and the
+    # discriminator's SA grouping ride this op)
+    i_x, c_x = jax.jit(
+        lambda p: query_ball_point(0.3, 16, p, p, impl="xla"))(pts)
+    i_p, c_p = jax.jit(lambda p: query_ball_pallas(0.3, 16, p, p))(pts)
+    ball_ok = bool(jnp.array_equal(i_x, i_p) and jnp.array_equal(c_x, c_p))
+
     print(
-        "parity knn_pallas=%s fps_pallas=%s onehot_hp_gather=%s"
-        % tuple("ok" if b else "MISMATCH" for b in (knn_ok, fps_ok, hp_ok))
+        "parity knn_pallas=%s fps_pallas=%s onehot_hp_gather=%s ball_query=%s"
+        % tuple("ok" if b else "MISMATCH"
+                for b in (knn_ok, fps_ok, hp_ok, ball_ok))
     )
-    assert knn_ok and fps_ok and hp_ok, "on-chip kernel parity failed"
+    assert knn_ok and fps_ok and hp_ok and ball_ok, \
+        "on-chip kernel parity failed"
 
 
 def main():

@@ -98,10 +98,19 @@ class PointShuffle2(nn.Module):
             (k,), bn_momentum=self.bn_momentum, dtype=self.dtype,
             name="weight_net",
         )(centered, train)                     # (b, n, k, k)
-        # feature^T @ weights: (b,n,C',k) = (b,n,k,C')^T · (b,n,k,k)
-        y = jnp.einsum("bnkc,bnkt->bnct", y, w)
-        y = y.reshape(b, n, -1)                # flatten (C', k), C'-major
-        y = PointConv(out_c, name="after_conv", **kw)(y, train)
+        # feature^T @ weights, computed in the transpose-free operand order:
+        # the big (b,n,k,C') tensor is already laid out (K=k, N=C') for the
+        # MXU, so contracting as w^T·y avoids relayouting 0.5 GB (only the
+        # tiny (k,k) plane transposes); the flatten is therefore k-major and
+        # ``after_conv`` permutes its kernel rows instead (stored layout
+        # stays the reference's C'-major (C',S) plane, ref:Common/ops.py:
+        # 1064-1072 — checkpoints/converter unchanged).  -0.7 ms vs the
+        # (b,n,C',k) form at b=64 on v5e, same values to f32 round-off.
+        c_prime = y.shape[-1]
+        y = jnp.einsum("bnkt,bnkc->bntc", w, y)
+        y = y.reshape(b, n, -1)                # flatten (k, C'), k-major
+        y = PointConv(out_c, name="after_conv",
+                      kernel_row_perm=(c_prime, k), **kw)(y, train)
 
         y = y + skip
         if self.use_nonlocal and self.use_local:

@@ -20,6 +20,7 @@ def query_ball_point(
     nsample: int,
     xyz: jnp.ndarray,
     new_xyz: jnp.ndarray,
+    impl: str = "auto",
 ):
     """First-``nsample`` dataset points within ``radius`` of each query.
 
@@ -28,6 +29,8 @@ def query_ball_point(
       nsample: max points per ball (static).
       xyz: (b, n, 3) dataset points.
       new_xyz: (b, m, 3) query points.
+      impl: 'auto' (fused Pallas kernel on TPU when shapes fit, XLA
+        otherwise), 'xla', or 'pallas'.
 
     Returns:
       idx: (b, m, nsample) int32 indices into ``xyz``.
@@ -42,10 +45,24 @@ def query_ball_point(
 
     Implementation: rather than a sequential scan, the first-k-hits-in-index-
     order are extracted with one ``top_k`` over ``where(hit, index, n)`` —
-    O(n log n) on-device, no host sync, fully batched.
+    O(n log n) on-device, no host sync, fully batched.  On TPU the Pallas
+    kernel replaces the sort with ``nsample`` masked-min rounds over the
+    VMEM-resident key tile (bit-identical outputs; the repulsion/uniform
+    losses and the discriminator's SA grouping sit on this op every step).
     """
     xyz = jnp.asarray(xyz)
     new_xyz = jnp.asarray(new_xyz)
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() not in ("cpu", "gpu")
+        and xyz.shape[1] <= 4096
+        and xyz.shape[-1] <= 128
+        and nsample <= 128
+    )
+    if use_pallas:
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        return query_ball_pallas(radius, nsample, xyz, new_xyz)
     b, n, _ = xyz.shape
     radius = jnp.broadcast_to(jnp.asarray(radius, xyz.dtype), (b,))
     d = pairwise_sq_dist(new_xyz, xyz)  # (b, m, n)
@@ -88,11 +105,16 @@ def group_point(
       impl: 'gather' (exact, default), 'onehot' — a bf16 one-hot matmul
         that XLA fuses into an MXU pass, ~2.8× faster than the TPU gather
         for (1024, 16, 128)-scale neighborhoods but bf16-rounds the
-        gathered values — or 'onehot_hp' — the same one-hot contraction at
+        gathered values — 'onehot_hp' — the same one-hot contraction at
         ``precision=HIGHEST``: each output element is a dot product with a
         single 1.0, and the 3-term bf16 decomposition of an f32 operand is
         exact, so the result is *bit-identical* to the native gather while
-        still running on the MXU (verified on-chip each bench session).
+        still running on the MXU (verified on-chip each bench session) —
+        or 'pallas' — the fused VMEM-resident kernel
+        (:func:`dispu_tpu.ops.pallas_kernels.gather_rows_pallas`): the same
+        exact values in 3 MXU passes instead of HIGHEST's 6, with the
+        one-hot never materialized in HBM; falls back to the native gather
+        off-TPU or for non-f32 tables.
 
     Returns:
       (b, m, nsample, c).
@@ -101,6 +123,17 @@ def group_point(
     gradient comes from autodiff (deterministic, no atomics) on every path
     (the one-hot paths transpose the same matmul).
     """
+    if impl == "pallas":
+        b, n, c = points.shape
+        m, k = idx.shape[1], idx.shape[2]
+        fits_vmem = n <= 4096 and c <= 512
+        if (jax.default_backend() not in ("cpu", "gpu")
+                and points.dtype == jnp.float32 and fits_vmem):
+            from dispu_tpu.ops.pallas_kernels import gather_rows_pallas_diff
+
+            out = gather_rows_pallas_diff(points, idx.reshape(b, m * k))
+            return out.reshape(b, m, k, c)
+        return jax.vmap(lambda p, i: p[i])(points, idx)
     if impl in ("onehot", "onehot_hp"):
         b, n, c = points.shape
         m, k = idx.shape[1], idx.shape[2]

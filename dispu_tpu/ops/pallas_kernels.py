@@ -234,6 +234,353 @@ def knn_pallas(
     return dist_out[:, :m, :k], idx_out[:, :m, :k]
 
 
+def _make_ball_kernel(nsample: int, n_actual: int):
+    """Fused ball query: distance tile + first-k-hits-in-index-order.
+
+    Same VMEM-resident structure as the kNN kernel, but the selection
+    ranks *hit indices* instead of distances: key = (d < r² ? lane : n),
+    then ``nsample`` rounds of (min, record, mask) return the first hits
+    in ascending index order — the CUDA scan semantics
+    (ref:tf_ops/grouping/tf_grouping_g.cu:1-36) without the XLA sort that
+    dominates the ball query's top_k lowering.
+    """
+
+    def kernel(r2_ref, pts_ref, q_ref, slots_ref, cnt_ref):
+        i = pl.program_id(0)
+        p = pts_ref[0]  # (n_pad, c_pad)
+        q = q_ref[0]    # (tm, c_pad)
+        n_pad = p.shape[0]
+        tm = q.shape[0]
+        k_pad = slots_ref.shape[-1]
+
+        p2 = jnp.sum(p * p, axis=1)[None, :]
+        q2 = jnp.sum(q * q, axis=1)[:, None]
+        qp = jnp.dot(
+            q, p.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        # identical association to ops.geometry.pairwise_sq_dist so the
+        # hit classification is bit-equal to the XLA path
+        d = jnp.maximum(q2 - 2.0 * qp + p2, 0.0)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, k_pad), 1)
+        hit = (d < r2_ref[i]) & (lane < n_actual)
+        key = jnp.where(hit, lane, n_actual)
+
+        slots_ref[0] = jnp.full((tm, k_pad), n_actual, jnp.int32)
+
+        def body(j, key):
+            sel = jnp.min(key, axis=1, keepdims=True)  # (tm, 1)
+            slots_ref[0] = jnp.where(lane_k == j, sel, slots_ref[0])
+            return jnp.where(lane == sel, n_actual, key)
+
+        jax.lax.fori_loop(0, nsample, body, key)
+        cnt = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
+        cnt_ref[0] = jnp.broadcast_to(cnt, (tm, cnt_ref.shape[-1]))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+def query_ball_pallas(
+    radius,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    tile_m: int = 256,
+    interpret: bool = False,
+):
+    """Ball query via the fused Pallas kernel.
+
+    Same contract as :func:`dispu_tpu.ops.grouping.query_ball_point`
+    (first ``nsample`` in-radius dataset points in index order, padding
+    repeats the first hit, counts capped at ``nsample``); bit-identical
+    outputs, no O(n log n) sort.  ``radius`` is a scalar or (b,) array.
+    """
+    # indices/counts carry no gradient (ref: NoGradient on the CUDA op);
+    # stopping tangents keeps reverse-mode linearization away from the
+    # pallas_call (which has no JVP rule) when the caller differentiates
+    # through a loss built on the returned neighborhoods
+    xyz = jax.lax.stop_gradient(jnp.asarray(xyz))
+    new_xyz = jax.lax.stop_gradient(jnp.asarray(new_xyz))
+    b, n, c = xyz.shape
+    m = new_xyz.shape[1]
+    radius = jax.lax.stop_gradient(radius)
+    r2 = jnp.broadcast_to(jnp.asarray(radius, xyz.dtype), (b,)) ** 2
+
+    n_pad = _round_up(max(n, 128), 128)
+    c_pad = _round_up(max(c, 128), 128)
+    k_pad = _round_up(max(nsample, 128), 128)
+    tile_m = min(tile_m, _round_up(max(m, 8), 8))
+    m_pad = _round_up(max(m, tile_m), tile_m)
+
+    pts = jnp.zeros((b, n_pad, c_pad), jnp.float32)
+    pts = pts.at[:, :n, :c].set(xyz.astype(jnp.float32))
+    qs = jnp.zeros((b, m_pad, c_pad), jnp.float32)
+    qs = qs.at[:, :m, :c].set(new_xyz.astype(jnp.float32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, m_pad // tile_m),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, c_pad), lambda i, j, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, c_pad), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_m, k_pad), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 128), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    slots, cnt = pl.pallas_call(
+        _make_ball_kernel(min(nsample, n), n),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, m_pad, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(r2.astype(jnp.float32), pts, qs)
+
+    slots = slots[:, :m, :nsample]
+    valid = slots < n
+    first = slots[..., :1]
+    pad = jnp.where(valid[..., :1], first, 0)
+    idx = jnp.where(valid, slots, pad).astype(jnp.int32)
+    pts_cnt = jnp.minimum(cnt[:, :m, 0], nsample).astype(jnp.int32)
+    return idx, pts_cnt
+
+
+def _make_gather_kernel():
+    """Exact row gather as a 3-pass bf16 one-hot contraction in VMEM.
+
+    One grid step = (one cloud, one query tile).  The feature table is
+    split into three bf16 terms (t = t1 + t2 + t3 exactly: each residual
+    carries ≤8 fresh mantissa bits, all partial sums are f32-representable,
+    so reconstruction is bit-exact for normal f32 — the same decomposition
+    XLA's HIGHEST algorithm uses, but HIGHEST must split *both* operands
+    into 6 passes; a one-hot matrix is exactly representable in bf16, so
+    3 passes suffice).  The one-hot is built *transposed* — (n, tile_q),
+    query index broadcast over sublanes — which needs no lane↔sublane
+    relayout of the index vector; the contraction then runs over the
+    sublane axis of both operands (the MXU's Aᵀ·B form).
+    """
+
+    def kernel(tbl_ref, idx_ref, out_ref):
+        t = tbl_ref[0]        # (n_pad, c_pad) f32
+        idx = idx_ref[0]      # (1, tq) int32
+        n_pad = t.shape[0]
+        tq = idx.shape[-1]
+
+        t1 = t.astype(jnp.bfloat16)
+        r1 = t - t1.astype(jnp.float32)
+        t2 = r1.astype(jnp.bfloat16)
+        t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tq), 0)
+        ohT = (rows == idx).astype(jnp.bfloat16)   # (n_pad, tq)
+
+        dn = (((0,), (0,)), ((), ()))  # contract sublane axis of both
+        acc = jax.lax.dot_general(
+            ohT, t1, dn, preferred_element_type=jnp.float32
+        )
+        acc = acc + jax.lax.dot_general(
+            ohT, t2, dn, preferred_element_type=jnp.float32
+        )
+        acc = acc + jax.lax.dot_general(
+            ohT, t3, dn, preferred_element_type=jnp.float32
+        )
+        out_ref[0] = acc  # (tq, c_pad)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def gather_rows_pallas(
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    tile_q: int = 512,
+    interpret: bool = False,
+):
+    """Bit-exact ``table[b, idx[b]]`` on the MXU, resident in VMEM.
+
+    Args:
+      table: (b, n, c) float32 feature rows (n·c + n·tile_q must fit VMEM —
+        fine for n ≤ ~4096, c ≤ ~512).
+      idx: (b, q) int32 row indices.
+      tile_q: queries per grid step.
+
+    Returns:
+      (b, q, c) float32, bit-identical to ``jax.vmap(lambda t, i: t[i])``
+      for normal f32 values (f32-subnormal table entries may flush).
+
+    Replaces the native TPU gather (~60 GB/s effective) and the XLA
+    HIGHEST one-hot contraction (6 MXU passes) with 3 MXU passes; the
+    one-hot never leaves VMEM.  Parity: ref:tf_ops/grouping/
+    tf_grouping_g.cu:38-78 (group_point is this gather per neighborhood).
+    """
+    b, n, c = table.shape
+    q = idx.shape[1]
+    n_pad = _round_up(max(n, 8), 8)
+    c_pad = _round_up(max(c, 128), 128)
+    tile_q = min(tile_q, _round_up(max(q, 128), 128))
+    q_pad = _round_up(max(q, tile_q), tile_q)
+
+    tbl = jnp.zeros((b, n_pad, c_pad), jnp.float32)
+    tbl = tbl.at[:, :n, :c].set(table.astype(jnp.float32))
+    ix = jnp.zeros((b, 1, q_pad), jnp.int32)
+    ix = ix.at[:, 0, :q].set(idx.astype(jnp.int32))
+
+    out = pl.pallas_call(
+        _make_gather_kernel(),
+        grid=(b, q_pad // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, c_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, q_pad, c_pad), jnp.float32),
+        interpret=interpret,
+    )(tbl, ix)
+    return out[:, :q, :c]
+
+
+def _make_scatter_kernel():
+    """Row scatter-add (the gather transpose) as a standard MXU matmul.
+
+    out[n, c] = Σ_q [idx[q] == n] · g[q, c] — i.e. ohT(n, q) @ g(q, c).
+    The cotangent is split into three exact bf16 terms (same decomposition
+    as the forward) and accumulated in f32 across query tiles; the output
+    block stays resident in VMEM while the grid walks the q axis.
+    """
+
+    def kernel(g_ref, idx_ref, out_ref):
+        j = pl.program_id(1)
+        g = g_ref[0]          # (tq, c_pad) f32
+        idx = idx_ref[0]      # (1, tq) int32
+        n_pad = out_ref.shape[1]
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, g.shape[0]), 0)
+        ohT = (rows == idx).astype(jnp.bfloat16)
+
+        g1 = g.astype(jnp.bfloat16)
+        r1 = g - g1.astype(jnp.float32)
+        g2 = r1.astype(jnp.bfloat16)
+        g3 = (r1 - g2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        dn = (((1,), (0,)), ((), ()))
+        acc = jax.lax.dot_general(
+            ohT, g1, dn, preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            ohT, g2, dn, preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            ohT, g3, dn, preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _init():
+            out_ref[0] = acc
+
+        @pl.when(j != 0)
+        def _accum():
+            out_ref[0] = out_ref[0] + acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def scatter_rows_pallas(
+    g: jnp.ndarray,
+    idx: jnp.ndarray,
+    n: int,
+    tile_q: int = 512,
+    interpret: bool = False,
+):
+    """``zeros((b, n, c)).at[idx].add(g)`` on the MXU (deterministic).
+
+    Args:
+      g: (b, q, c) float32 values to scatter.
+      idx: (b, q) int32 destination rows in [0, n).
+      n: number of output rows (static).
+
+    Returns:
+      (b, n, c) float32.  Used as the training-time backward of
+      :func:`gather_rows_pallas`; per-element sums accumulate in f32 in
+      fixed tile order (deterministic, no atomics — unlike the reference's
+      CUDA ``atomicAdd`` grads, ref:tf_ops/grouping/tf_grouping_g.cu:60-78).
+    """
+    b, q, c = g.shape
+    n_pad = _round_up(max(n, 8), 8)
+    c_pad = _round_up(max(c, 128), 128)
+    tile_q = min(tile_q, _round_up(max(q, 128), 128))
+    q_pad = _round_up(max(q, tile_q), tile_q)
+
+    gp = jnp.zeros((b, q_pad, c_pad), jnp.float32)
+    gp = gp.at[:, :q, :c].set(g.astype(jnp.float32))
+    ix = jnp.zeros((b, 1, q_pad), jnp.int32)
+    ix = ix.at[:, 0, :q].set(idx.astype(jnp.int32))
+
+    out = pl.pallas_call(
+        _make_scatter_kernel(),
+        grid=(b, q_pad // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c_pad), jnp.float32),
+        interpret=interpret,
+    )(gp, ix)
+    return out[:, :n, :c]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows_pallas_diff(
+    table: jnp.ndarray,
+    idx: jnp.ndarray,
+    tile_q: int = 512,
+    interpret: bool = False,
+):
+    """Differentiable ``gather_rows_pallas`` (pallas_call has no AD rule).
+
+    Backward is the deterministic scatter-add ``zeros.at[idx].add(g)`` —
+    exactly what autodiff of the native gather produces.
+    """
+    return gather_rows_pallas(table, idx, tile_q, interpret)
+
+
+def _gather_rows_fwd(table, idx, tile_q, interpret):
+    return gather_rows_pallas(table, idx, tile_q, interpret), (
+        jnp.zeros_like(table), idx)
+
+
+def _gather_rows_bwd(tile_q, interpret, res, g):
+    zeros, idx = res
+    n = zeros.shape[1]
+    if zeros.dtype == jnp.float32 and (
+            interpret or jax.default_backend() not in ("cpu", "gpu")):
+        d_table = scatter_rows_pallas(
+            g.astype(jnp.float32), idx, n, tile_q, interpret)
+        return d_table.astype(zeros.dtype), None
+    d_table = jax.vmap(
+        lambda z, i, u: z.at[i].add(u)
+    )(zeros, idx, g.astype(zeros.dtype))
+    return d_table, None
+
+
+gather_rows_pallas_diff.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
 def knn_pallas_diff(
     k: int,

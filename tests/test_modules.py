@@ -138,3 +138,36 @@ class TestUpDownBlocks:
         v = mod.init(jax.random.PRNGKey(0), feat)
         out = mod.apply(v, feat)
         assert out.shape == (2, 256, 128)
+
+
+class TestPermutedRowDense:
+    def test_matches_plain_dense_on_permuted_input(self):
+        """kernel_row_perm keeps the stored (a,b)-major kernel semantics:
+        feeding the (b,a)-major flatten must reproduce the plain layer fed
+        the (a,b)-major flatten, with identical params."""
+        from dispu_tpu.nn.layers import PointConv
+
+        a, b_inner, feats = 5, 3, 7
+        rng = np.random.RandomState(3)
+        z = jnp.asarray(rng.randn(4, 10, a, b_inner), jnp.float32)
+
+        plain = PointConv(feats, activation=None)
+        perm = PointConv(feats, activation=None,
+                         kernel_row_perm=(a, b_inner))
+
+        x_amajor = z.reshape(4, 10, a * b_inner)
+        x_bmajor = jnp.swapaxes(z, -1, -2).reshape(4, 10, a * b_inner)
+
+        vs = plain.init(jax.random.PRNGKey(0), x_amajor)
+        vs_perm = perm.init(jax.random.PRNGKey(0), x_bmajor)
+        # identical param trees (names, shapes, values)
+        jax.tree_util.tree_map(
+            lambda p, q: np.testing.assert_array_equal(
+                np.asarray(p), np.asarray(q)),
+            vs, vs_perm,
+        )
+        out_plain = plain.apply(vs, x_amajor)
+        out_perm = perm.apply(vs, x_bmajor)
+        np.testing.assert_allclose(
+            np.asarray(out_perm), np.asarray(out_plain), atol=1e-6
+        )

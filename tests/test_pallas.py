@@ -95,6 +95,112 @@ class TestKnnPallas:
         assert np.isfinite(np.asarray(g)).all()
 
 
+class TestQueryBallPallas:
+    def _parity(self, radius, nsample, pts, q):
+        from dispu_tpu.ops.grouping import query_ball_point
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        idx_ref, cnt_ref = query_ball_point(radius, nsample, pts, q,
+                                            impl="xla")
+        idx_got, cnt_got = query_ball_pallas(radius, nsample, pts, q,
+                                             interpret=True)
+        np.testing.assert_array_equal(np.asarray(idx_got),
+                                      np.asarray(idx_ref))
+        np.testing.assert_array_equal(np.asarray(cnt_got),
+                                      np.asarray(cnt_ref))
+
+    def test_scalar_radius(self, rng):
+        pts = jnp.asarray(rng.randn(2, 300, 3), np.float32)
+        q = jnp.asarray(rng.randn(2, 100, 3), np.float32)
+        self._parity(0.8, 16, pts, q)
+
+    def test_per_batch_radius(self, rng):
+        pts = jnp.asarray(rng.randn(3, 200, 3), np.float32)
+        q = jnp.asarray(rng.randn(3, 50, 3), np.float32)
+        self._parity(jnp.asarray([0.3, 0.8, 2.0], jnp.float32), 8, pts, q)
+
+    def test_empty_and_overfull_balls(self, rng):
+        pts = jnp.asarray(rng.randn(2, 128, 3), np.float32)
+        q = jnp.asarray(rng.randn(2, 40, 3), np.float32)
+        self._parity(1e-4, 8, pts, q)   # nothing in radius → pad 0
+        self._parity(100.0, 8, pts, q)  # everything hits → first 8 indices
+
+    def test_nsample_exceeds_cloud(self, rng):
+        pts = jnp.asarray(rng.randn(1, 20, 3), np.float32)
+        q = jnp.asarray(rng.randn(1, 10, 3), np.float32)
+        self._parity(1.5, 32, pts, q)
+
+    def test_under_grad_context(self, rng):
+        """A loss built on pallas ball-query neighborhoods must
+        differentiate (pallas_call has no JVP rule; the query stops input
+        tangents — indices carry no gradient, as in the CUDA reference)."""
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        pts = jnp.asarray(rng.randn(1, 64, 3), np.float32)
+
+        def f(p):
+            idx, _ = query_ball_pallas(0.8, 4, p, p, interpret=True)
+            grouped = jax.vmap(lambda pp, ii: pp[ii])(p, idx)
+            return jnp.sum((grouped - p[:, :, None, :]) ** 2)
+
+        g = jax.grad(f)(pts)
+        assert np.isfinite(np.asarray(g)).all()
+
+
+class TestGatherRowsPallas:
+    def test_bit_identical_to_native_gather(self, rng):
+        from dispu_tpu.ops.pallas_kernels import gather_rows_pallas
+
+        tbl = jnp.asarray(rng.randn(3, 300, 37), np.float32)
+        idx = jnp.asarray(rng.randint(0, 300, (3, 155)), np.int32)
+        ref = jax.vmap(lambda t, i: t[i])(tbl, idx)
+        got = gather_rows_pallas(tbl, idx, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_extreme_magnitudes_stay_exact(self, rng):
+        """The 3-term bf16 split must reconstruct f32 exactly across the
+        normal exponent range (the residuals carry <=8 fresh mantissa bits
+        each, so every partial sum is representable)."""
+        from dispu_tpu.ops.pallas_kernels import gather_rows_pallas
+
+        vals = (rng.randn(1, 40, 16) *
+                10.0 ** rng.uniform(-30, 30, (1, 40, 16)))
+        tbl = jnp.asarray(vals, np.float32)
+        idx = jnp.asarray(rng.randint(0, 40, (1, 64)), np.int32)
+        ref = jax.vmap(lambda t, i: t[i])(tbl, idx)
+        got = gather_rows_pallas(tbl, idx, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_grad_matches_native_gather(self, rng):
+        from dispu_tpu.ops.pallas_kernels import gather_rows_pallas_diff
+
+        tbl = jnp.asarray(rng.randn(2, 60, 9), np.float32)
+        idx = jnp.asarray(rng.randint(0, 60, (2, 33)), np.int32)
+
+        def loss_pallas(t):
+            return jnp.sum(
+                jnp.sin(gather_rows_pallas_diff(t, idx, 512, True)))
+
+        def loss_native(t):
+            return jnp.sum(jnp.sin(jax.vmap(lambda tt, i: tt[i])(t, idx)))
+
+        g_p = jax.grad(loss_pallas)(tbl)
+        g_n = jax.grad(loss_native)(tbl)
+        np.testing.assert_allclose(
+            np.asarray(g_p), np.asarray(g_n), atol=1e-6
+        )
+
+    def test_group_point_pallas_impl_falls_back_off_tpu(self, rng):
+        """impl='pallas' must route to the exact native gather on CPU."""
+        from dispu_tpu.ops.grouping import group_point
+
+        pts = jnp.asarray(rng.randn(2, 50, 7), np.float32)
+        idx = jnp.asarray(rng.randint(0, 50, (2, 20, 4)), np.int32)
+        ref = group_point(pts, idx)
+        got = group_point(pts, idx, impl="pallas")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 class TestChunkedNN:
     def test_matches_dense(self, rng):
         a = rng.randn(2, 300, 3).astype(np.float32)
