@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from dispu_tpu.ops.chamfer import nn_distance
 from dispu_tpu.ops.emd import earth_mover_cost
 from dispu_tpu.ops.grouping import group_point, query_ball_point
-from dispu_tpu.ops.knn import knn
+from dispu_tpu.ops.knn import knn, knn_indices
 from dispu_tpu.ops.sampling import farthest_point_sample, gather_point
 
 earth_mover = earth_mover_cost  # ref:Common/loss_utils.py:170-176
@@ -87,15 +87,32 @@ def repulsion(
     Parity: ref:Common/loss_utils.py:271-298 — ball-query ``nsample``
     neighbors (padding repeats the first hit, exactly as the CUDA op), take
     the 5 nearest, drop the self column, penalize ``max(0, h − d²)``.
+
+    TPU note: the ball path ranks neighbors by the query's own
+    selection-grade distances (``return_dists``) and only then gathers the
+    5 winners' coordinates for the exact, differentiable re-evaluation —
+    the TPU gather costs ~8 ns per indexed row regardless of width, so
+    gathering 5 rows instead of ``nsample`` is a 4× cut on the loss's
+    dominant op.  The re-evaluated values are exact ``|p−q|²`` as in the
+    reference; only sub-round-off near-ties at the 5th-place boundary can
+    pick a different (equidistant) neighbor than ranking by exact values
+    would — the same selection-vs-value split the chamfer argmin uses.
     """
     if use_knn:
-        _, idx = knn(nsample, pred, pred)
+        idx = knn_indices(nsample, pred, pred)
+        grouped = group_point(pred, idx) - pred[:, :, None, :]
+        dists = jnp.sum(grouped**2, axis=-1)
+        neg_top, _ = jax.lax.top_k(-dists, 5)
+        val = neg_top[:, :, 1:]  # drop the nearest (self)
     else:
-        idx, _ = query_ball_point(radius, nsample, pred, pred)
-    grouped = group_point(pred, idx) - pred[:, :, None, :]
-    dists = jnp.sum(grouped**2, axis=-1)
-    neg_top, _ = jax.lax.top_k(-dists, 5)
-    val = neg_top[:, :, 1:]  # drop the nearest (self)
+        idx, _, d_sel = query_ball_point(
+            radius, nsample, pred, pred, return_dists=True
+        )
+        _, sub = jax.lax.top_k(-d_sel, 5)              # (b, m, 5)
+        idx5 = jnp.take_along_axis(idx, sub, axis=-1)
+        grouped = group_point(pred, idx5) - pred[:, :, None, :]
+        dists5 = jnp.sum(grouped**2, axis=-1)          # exact, differentiable
+        val = -dists5[:, :, 1:]  # drop the nearest (self)
     val = jnp.maximum(0.0, h + val)  # h - d^2, clipped
     return jnp.mean(val)
 
@@ -378,7 +395,7 @@ def perulsion_loss(
     loss = mean(max(0, h − d)).
     """
     if use_knn:
-        _, idx = knn(nsample, pred, pred)
+        idx = knn_indices(nsample, pred, pred)
     else:
         idx, _ = query_ball_point(radius, nsample, pred, pred)
     grouped = group_point(pred, idx) - pred[:, :, None, :]

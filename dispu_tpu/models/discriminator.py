@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from dispu_tpu.config import DiscriminatorConfig
 from dispu_tpu.nn.layers import PointConv
 from dispu_tpu.ops.grouping import group_point, query_ball_point
-from dispu_tpu.ops.knn import knn
+from dispu_tpu.ops.knn import knn_indices
 from dispu_tpu.ops.sampling import farthest_point_sample, gather_point
 
 _leaky = functools.partial(nn.leaky_relu, negative_slope=0.2)  # tf default
@@ -51,7 +51,7 @@ class PairedMSGModule(nn.Module):
 
         def grouped(cloud, nsample, radius):
             if cfg.knn:
-                _, idx = knn(nsample, cloud, seeds)
+                idx = knn_indices(nsample, cloud, seeds)
             else:
                 idx, _ = query_ball_point(radius, nsample, cloud, seeds)
             return group_point(cloud, idx) - seeds[:, :, None, :]

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from dispu_tpu.nn.layers import PointConv
 from dispu_tpu.ops.grouping import group_point
-from dispu_tpu.ops.knn import knn_unique
+from dispu_tpu.ops.knn import knn_unique_indices
 
 
 def edge_feature(
@@ -40,7 +40,7 @@ def edge_feature(
     duplicates masked (unique=True), self/first column dropped.
     """
     if idx is None:
-        _, nbr = knn_unique(k + 1, feature, feature)
+        nbr = knn_unique_indices(k + 1, feature, feature)
         idx = nbr[:, :, 1:]
     neighbors = group_point(feature, idx, impl=gather_impl)
     center = jnp.broadcast_to(

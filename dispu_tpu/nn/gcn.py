@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from dispu_tpu.nn.layers import PointConv, PointMLP
 from dispu_tpu.ops.grouping import group_point
-from dispu_tpu.ops.knn import knn
+from dispu_tpu.ops.knn import knn_indices
 
 
 # --------------------------------------------------------------- edge layers
@@ -29,7 +29,7 @@ def knn_graph(x: jnp.ndarray, k: int) -> jnp.ndarray:
 
     Parity: ref:gcn_lib/tf_edge.py:19-28.
     """
-    _, idx = knn(k, x, x)
+    idx = knn_indices(k, x, x)
     return idx
 
 

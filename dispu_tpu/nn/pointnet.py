@@ -20,7 +20,7 @@ from dispu_tpu.ops.interpolate import (
     three_interpolate,
     three_nn,
 )
-from dispu_tpu.ops.knn import knn
+from dispu_tpu.ops.knn import knn_indices
 from dispu_tpu.ops.sampling import farthest_point_sample, gather_point
 
 
@@ -41,7 +41,7 @@ def sample_and_group(
     """
     new_xyz = gather_point(xyz, farthest_point_sample(npoint, xyz))
     if use_knn:
-        _, idx = knn(nsample, xyz, new_xyz)
+        idx = knn_indices(nsample, xyz, new_xyz)
     else:
         idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
     grouped_xyz = group_point(xyz, idx) - new_xyz[:, :, None, :]
@@ -164,7 +164,7 @@ class PointNetSAModuleMSG(nn.Module):
             zip(self.radius_list, self.nsample_list, self.mlp_list)
         ):
             if self.use_knn:
-                _, idx = knn(nsample, xyz, new_xyz)
+                idx = knn_indices(nsample, xyz, new_xyz)
             else:
                 idx, _ = query_ball_point(radius, nsample, xyz, new_xyz)
             grouped_xyz = group_point(xyz, idx) - new_xyz[:, :, None, :]

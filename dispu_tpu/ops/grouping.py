@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from dispu_tpu.ops.geometry import pairwise_sq_dist
-from dispu_tpu.ops.knn import knn
+from dispu_tpu.ops.knn import knn_indices
 
 
 def query_ball_point(
@@ -21,6 +21,7 @@ def query_ball_point(
     xyz: jnp.ndarray,
     new_xyz: jnp.ndarray,
     impl: str = "auto",
+    return_dists: bool = False,
 ):
     """First-``nsample`` dataset points within ``radius`` of each query.
 
@@ -35,6 +36,11 @@ def query_ball_point(
     Returns:
       idx: (b, m, nsample) int32 indices into ``xyz``.
       pts_cnt: (b, m) int32 number of in-ball points (capped at nsample).
+      dists (only if ``return_dists``): (b, m, nsample) f32 squared
+        distances of the selected hits in the hit test's expansion form —
+        selection-grade values with no gradient (padded slots repeat the
+        first hit's distance; empty balls give 0).  Lets callers rank
+        neighbors without paying the per-row TPU gather for coordinates.
 
     Parity: ref:tf_ops/grouping/tf_grouping_g.cu:1-36 — scans dataset points
     in index order, keeps the first ``nsample`` hits, and pads the remaining
@@ -62,7 +68,9 @@ def query_ball_point(
     if use_pallas:
         from dispu_tpu.ops.pallas_kernels import query_ball_pallas
 
-        return query_ball_pallas(radius, nsample, xyz, new_xyz)
+        return query_ball_pallas(
+            radius, nsample, xyz, new_xyz, with_dists=return_dists
+        )
     b, n, _ = xyz.shape
     radius = jnp.broadcast_to(jnp.asarray(radius, xyz.dtype), (b,))
     d = pairwise_sq_dist(new_xyz, xyz)  # (b, m, n)
@@ -80,6 +88,12 @@ def query_ball_point(
     pad = jnp.where(any_hit, first, 0)
     idx = jnp.where(valid, slots, pad).astype(jnp.int32)
     pts_cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)
+    if return_dists:
+        d_sel = jnp.take_along_axis(d, jnp.where(valid, slots, 0), axis=-1)
+        d_first = d_sel[..., :1]
+        dists = jnp.where(valid, d_sel,
+                          jnp.where(any_hit, d_first, 0.0))
+        return idx, pts_cnt, jax.lax.stop_gradient(dists)
     return idx, pts_cnt
 
 
@@ -191,7 +205,7 @@ def grouping(
     indices, which is the evident intent.
     """
     if use_knn:
-        _, idx = knn(k, src_xyz, q_xyz)
+        idx = knn_indices(k, src_xyz, q_xyz)
     else:
         idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
     # xyz stays on the exact gather (coordinate precision feeds the
@@ -218,7 +232,7 @@ def dilat_group(
 
     Returns (grouped_xyz, grouped_points, idx) with grouped_xyz centered.
     """
-    _, idx_full = knn(k * dilation + 1, xyz, xyz)
+    idx_full = knn_indices(k * dilation + 1, xyz, xyz)
     idx = idx_full[:, :, 1::dilation]
     grouped_xyz = group_point(xyz, idx) - xyz[:, :, None, :]
     if points is not None:

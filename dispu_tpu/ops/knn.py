@@ -86,6 +86,40 @@ def knn(k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"):
     return -neg, idx
 
 
+def knn_indices(
+    k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Neighbor indices only, with input tangents stopped.
+
+    For callers that consume just the selection (grouping, edge convs, SA
+    modules): without this, reverse-mode still materializes the *zero*
+    cotangent of the discarded distance output and runs the kNN backward
+    scatter-add on it — multi-ms per step at model scale.  TF prunes the
+    same path (unused ``top_k`` values output); gradients still flow
+    through whatever the caller gathers with these indices.
+    """
+    _, idx = knn(
+        k,
+        jax.lax.stop_gradient(points),
+        jax.lax.stop_gradient(queries),
+        impl,
+    )
+    return idx
+
+
+def knn_unique_indices(
+    k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """`knn_unique` indices only, input tangents stopped (see knn_indices)."""
+    _, idx = knn_unique(
+        k,
+        jax.lax.stop_gradient(points),
+        jax.lax.stop_gradient(queries),
+        impl,
+    )
+    return idx
+
+
 def knn_unique(
     k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"
 ):

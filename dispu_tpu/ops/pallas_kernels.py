@@ -151,16 +151,35 @@ def _make_knn_kernel(k: int):
         idx_ref[0] = jnp.zeros((tm, k_pad), jnp.int32)
         dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
 
-        def body(j, d):
-            mv = jnp.min(d, axis=1, keepdims=True)               # (tm, 1)
-            sel = jnp.min(
-                jnp.where(d == mv, lane, n_pad), axis=1, keepdims=True
-            )                                                     # (tm, 1)
-            idx_ref[0] = jnp.where(lane_k == j, sel, idx_ref[0])
-            dist_ref[0] = jnp.where(lane_k == j, mv, dist_ref[0])
-            return jnp.where(lane == sel, jnp.inf, d)
+        # Selection walks the (d, lane) lexicographic order by carrying the
+        # last selected (value, lane) threshold — the d tile is never
+        # rewritten, saving a full (tm, n) VMEM write + re-read per round
+        # versus the classic mask-out-and-rescan loop.  Identical selection
+        # sequence, ties and all.
+        def body(j, carry):
+            mv, sel = carry  # (tm, 1) f32, (tm, 1) int32
+            later = (d > mv) | ((d == mv) & (lane > sel))
+            mv2 = jnp.min(
+                jnp.where(later, d, jnp.inf), axis=1, keepdims=True
+            )
+            sel2 = jnp.min(
+                jnp.where(
+                    (d == mv2) & ((mv2 > mv) | (lane > sel)), lane, n_pad
+                ),
+                axis=1,
+                keepdims=True,
+            )
+            idx_ref[0] = jnp.where(lane_k == j, sel2, idx_ref[0])
+            dist_ref[0] = jnp.where(lane_k == j, mv2, dist_ref[0])
+            return mv2, sel2
 
-        jax.lax.fori_loop(0, k, body, d)
+        jax.lax.fori_loop(
+            0,
+            k,
+            body,
+            (jnp.full((tm, 1), -jnp.inf, jnp.float32),
+             jnp.full((tm, 1), -1, jnp.int32)),
+        )
 
     return kernel
 
@@ -234,7 +253,7 @@ def knn_pallas(
     return dist_out[:, :m, :k], idx_out[:, :m, :k]
 
 
-def _make_ball_kernel(nsample: int, n_actual: int):
+def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool):
     """Fused ball query: distance tile + first-k-hits-in-index-order.
 
     Same VMEM-resident structure as the kNN kernel, but the selection
@@ -243,9 +262,19 @@ def _make_ball_kernel(nsample: int, n_actual: int):
     in ascending index order — the CUDA scan semantics
     (ref:tf_ops/grouping/tf_grouping_g.cu:1-36) without the XLA sort that
     dominates the ball query's top_k lowering.
+
+    With ``with_dists`` the kernel also records each selected hit's squared
+    distance (one extra masked-min pass per round) — the repulsion loss can
+    then rank neighbors without re-gathering coordinates (the TPU gather
+    costs ~8 ns per indexed *row* regardless of width, so a (b·m·k, 3)
+    xyz gather is the expensive part of the loss, not the math).
     """
 
-    def kernel(r2_ref, pts_ref, q_ref, slots_ref, cnt_ref):
+    def kernel(r2_ref, pts_ref, q_ref, *out_refs):
+        if with_dists:
+            slots_ref, cnt_ref, dist_ref = out_refs
+        else:
+            slots_ref, cnt_ref = out_refs
         i = pl.program_id(0)
         p = pts_ref[0]  # (n_pad, c_pad)
         q = q_ref[0]    # (tm, c_pad)
@@ -270,20 +299,36 @@ def _make_ball_kernel(nsample: int, n_actual: int):
         key = jnp.where(hit, lane, n_actual)
 
         slots_ref[0] = jnp.full((tm, k_pad), n_actual, jnp.int32)
+        if with_dists:
+            dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
 
-        def body(j, key):
-            sel = jnp.min(key, axis=1, keepdims=True)  # (tm, 1)
-            slots_ref[0] = jnp.where(lane_k == j, sel, slots_ref[0])
-            return jnp.where(lane == sel, n_actual, key)
+        # keys are unique lane indices, so walking the ascending order only
+        # needs the previous selection as a threshold — one masked-min pass
+        # per round, no key-tile rewrite
+        def body(j, sel):
+            sel2 = jnp.min(
+                jnp.where(key > sel, key, n_actual), axis=1, keepdims=True
+            )
+            slots_ref[0] = jnp.where(lane_k == j, sel2, slots_ref[0])
+            if with_dists:
+                dv = jnp.min(
+                    jnp.where(lane == sel2, d, jnp.inf),
+                    axis=1, keepdims=True,
+                )
+                dv = jnp.where(sel2 < n_actual, dv, 0.0)
+                dist_ref[0] = jnp.where(lane_k == j, dv, dist_ref[0])
+            return sel2
 
-        jax.lax.fori_loop(0, nsample, body, key)
+        jax.lax.fori_loop(
+            0, nsample, body, jnp.full((tm, 1), -1, jnp.int32)
+        )
         cnt = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
         cnt_ref[0] = jnp.broadcast_to(cnt, (tm, cnt_ref.shape[-1]))
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
 def query_ball_pallas(
     radius,
     nsample: int,
@@ -291,6 +336,7 @@ def query_ball_pallas(
     new_xyz: jnp.ndarray,
     tile_m: int = 256,
     interpret: bool = False,
+    with_dists: bool = False,
 ):
     """Ball query via the fused Pallas kernel.
 
@@ -298,6 +344,11 @@ def query_ball_pallas(
     (first ``nsample`` in-radius dataset points in index order, padding
     repeats the first hit, counts capped at ``nsample``); bit-identical
     outputs, no O(n log n) sort.  ``radius`` is a scalar or (b,) array.
+
+    ``with_dists=True`` additionally returns (b, m, nsample) squared
+    distances of the selected hits (expansion form |q|²−2q·p+|p|², the
+    same values the hit test used; padded slots repeat the first hit's
+    distance, empty balls give 0) — no gradient, selection-grade values.
     """
     # indices/counts carry no gradient (ref: NoGradient on the CUDA op);
     # stopping tangents keeps reverse-mode linearization away from the
@@ -321,6 +372,22 @@ def query_ball_pallas(
     qs = jnp.zeros((b, m_pad, c_pad), jnp.float32)
     qs = qs.at[:, :m, :c].set(new_xyz.astype(jnp.float32))
 
+    out_specs = [
+        pl.BlockSpec((1, tile_m, k_pad), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_m, 128), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
+        jax.ShapeDtypeStruct((b, m_pad, 128), jnp.int32),
+    ]
+    if with_dists:
+        out_specs.append(
+            pl.BlockSpec((1, tile_m, k_pad), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, m_pad // tile_m),
@@ -330,22 +397,15 @@ def query_ball_pallas(
             pl.BlockSpec((1, tile_m, c_pad), lambda i, j, *_: (i, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tile_m, k_pad), lambda i, j, *_: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, 128), lambda i, j, *_: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
     )
-    slots, cnt = pl.pallas_call(
-        _make_ball_kernel(min(nsample, n), n),
+    outs = pl.pallas_call(
+        _make_ball_kernel(min(nsample, n), n, with_dists),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b, m_pad, 128), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
     )(r2.astype(jnp.float32), pts, qs)
+    slots, cnt = outs[0], outs[1]
 
     slots = slots[:, :m, :nsample]
     valid = slots < n
@@ -353,6 +413,12 @@ def query_ball_pallas(
     pad = jnp.where(valid[..., :1], first, 0)
     idx = jnp.where(valid, slots, pad).astype(jnp.int32)
     pts_cnt = jnp.minimum(cnt[:, :m, 0], nsample).astype(jnp.int32)
+    if with_dists:
+        d_raw = outs[2][:, :m, :nsample]
+        d_first = d_raw[..., :1]
+        dists = jnp.where(valid, d_raw,
+                          jnp.where(valid[..., :1], d_first, 0.0))
+        return idx, pts_cnt, dists
     return idx, pts_cnt
 
 

@@ -130,6 +130,22 @@ class TestQueryBallPallas:
         q = jnp.asarray(rng.randn(1, 10, 3), np.float32)
         self._parity(1.5, 32, pts, q)
 
+    def test_with_dists_matches_xla(self, rng):
+        from dispu_tpu.ops.grouping import query_ball_point
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        pts = jnp.asarray(rng.randn(2, 200, 3), np.float32)
+        q = jnp.asarray(rng.randn(2, 60, 3), np.float32)
+        for radius in (1e-4, 0.9, 50.0):
+            i_r, c_r, d_r = query_ball_point(
+                radius, 8, pts, q, impl="xla", return_dists=True)
+            i_g, c_g, d_g = query_ball_pallas(
+                radius, 8, pts, q, interpret=True, with_dists=True)
+            np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_r))
+            np.testing.assert_array_equal(np.asarray(c_g), np.asarray(c_r))
+            np.testing.assert_allclose(
+                np.asarray(d_g), np.asarray(d_r), atol=1e-6)
+
     def test_under_grad_context(self, rng):
         """A loss built on pallas ball-query neighborhoods must
         differentiate (pallas_call has no JVP rule; the query stops input
