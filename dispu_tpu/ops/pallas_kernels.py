@@ -31,20 +31,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _make_fps_kernel(npoint: int):
+def _make_fps_kernel(npoint: int, rows: int):
     def kernel(actual_n_ref, pts_ref, out_ref, mindist_ref):
-        """One grid step = one cloud.  pts (1, 3, n) VMEM; out (1, 1, m_pad)."""
-        n = pts_ref.shape[-1]
+        """One grid step = one cloud.
+
+        pts (1, 3, rows, n/rows) VMEM; out (1, 1, m_pad).  The coordinate
+        planes are laid out 2-D — a (1, n) vector would occupy one sublane
+        of each (8, 128) VPU tile, wasting 7/8 of every elementwise pass,
+        and FPS is nothing but elementwise passes over these planes.
+        Flat indices are row-major, so selection order (first-occurrence
+        argmax) is identical to the 1-D layout, bit for bit.
+        """
+        nr = pts_ref.shape[-1]
+        n = rows * nr
         actual_n = actual_n_ref[0]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-        valid = lane < actual_n
+        flat = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, nr), 0) * nr
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, nr), 1)
+        )
+        valid = flat < actual_n
         m_pad = out_ref.shape[-1]
         lane_m = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
 
-        x = pts_ref[0, 0:1, :]
-        y = pts_ref[0, 1:2, :]
-        z = pts_ref[0, 2:3, :]
+        x = pts_ref[0, 0]  # (rows, nr)
+        y = pts_ref[0, 1]
+        z = pts_ref[0, 2]
 
         # seed with index 0 (ref:tf_sampling_g.cu:114-116)
         out_ref[0, :, :] = jnp.zeros((1, m_pad), jnp.int32)
@@ -52,16 +64,16 @@ def _make_fps_kernel(npoint: int):
 
         def body(j, last):
             # scalar reads of the last-selected point's coordinates
-            px = jnp.max(jnp.where(lane == last, x, -jnp.inf))
-            py = jnp.max(jnp.where(lane == last, y, -jnp.inf))
-            pz = jnp.max(jnp.where(lane == last, z, -jnp.inf))
+            px = jnp.max(jnp.where(flat == last, x, -jnp.inf))
+            py = jnp.max(jnp.where(flat == last, y, -jnp.inf))
+            pz = jnp.max(jnp.where(flat == last, z, -jnp.inf))
             d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
             md = jnp.minimum(mindist_ref[:, :], d)
             md = jnp.where(valid, md, -1.0)
             mindist_ref[:, :] = md
             # first-index argmax (matches jnp.argmax tie-breaking)
             maxval = jnp.max(md)
-            nxt = jnp.min(jnp.where(md == maxval, lane, n)).astype(jnp.int32)
+            nxt = jnp.min(jnp.where(md == maxval, flat, n)).astype(jnp.int32)
             # masked row write (Mosaic rejects scalar stores to VMEM)
             out_ref[0, :, :] = jnp.where(lane_m == j, nxt, out_ref[0, :, :])
             return nxt
@@ -85,7 +97,9 @@ def fps_pallas(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
       ``dispu_tpu.ops.sampling.farthest_point_sample``.
     """
     b, n, _ = xyz.shape
-    n_pad = _round_up(max(n, 128), 128)
+    rows = 8  # full (8, 128) VPU tiles
+    n_pad = _round_up(max(n, rows * 128), rows * 128)
+    nr = n_pad // rows
     m_pad = _round_up(max(npoint, 128), 128)
     # indices carry no gradient (ref: NoGradient); stopping tangents here
     # also keeps reverse-mode linearization away from the pallas_call
@@ -93,24 +107,25 @@ def fps_pallas(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
     pts = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (b, 3, n)
     if n_pad != n:
         pts = jnp.pad(pts, ((0, 0), (0, 0), (0, n_pad - n)))
+    pts = pts.reshape(b, 3, rows, nr)  # row-major: flat index preserved
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, n_pad), lambda i, *_: (i, 0, 0),
+                (1, 3, rows, nr), lambda i, *_: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, m_pad), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rows, nr), jnp.float32)],
     )
 
     out = pl.pallas_call(
-        _make_fps_kernel(npoint),
+        _make_fps_kernel(npoint, rows),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, m_pad), jnp.int32),
         interpret=interpret,
