@@ -73,3 +73,27 @@ class TestPatchUpsampler:
         out2 = up2.upsample(pc)
         assert out2.shape == out1.shape
         np.testing.assert_allclose(out1, out2, atol=1e-4)
+
+
+class TestDegenerateInputs:
+    """Identical/near-identical points must not produce NaNs anywhere in
+    the pipeline (zero pairwise distances exercise the clamped distance
+    expansion, duplicate masking, and the normalization guards)."""
+
+    def test_identical_points_forward_finite(self, variables):
+        from dispu_tpu.models.generator import DisPUGenerator
+        import jax.numpy as jnp
+
+        model = DisPUGenerator(cfg=GEN)
+        x = jnp.ones((2, 64, 3), jnp.float32)
+        c, f = model.apply(variables, x, train=False)
+        assert bool(jnp.isfinite(c).all() and jnp.isfinite(f).all())
+
+    def test_degenerate_cloud_upsamples_finite(self, variables):
+        up = PatchUpsampler(
+            variables, gen_cfg=GEN,
+            inf_cfg=InferenceConfig(patch_num_point=64),
+        )
+        out = up.upsample(np.ones((500, 3), np.float32))
+        assert out.shape == (2000, 3)
+        assert np.isfinite(out).all()
