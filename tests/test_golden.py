@@ -56,3 +56,39 @@ class TestGolden:
             for p in jax.tree_util.tree_leaves(variables["params"])
         )
         assert count == GOLDEN["param_count"], count
+
+
+class TestShippedDataGolden:
+    """Golden values on the shipped test clouds (demo/gt mirrors the
+    reference's data/test files — SURVEY.md §4 asks for golden-value tests
+    on these).  Pins the xyz reader, normalization, and FPS seed walk."""
+
+    def test_icosahedron_normalization_and_seeds(self):
+        from dispu_tpu.evaluation.meshio import read_xyz
+        from dispu_tpu.ops.geometry import normalize_point_cloud
+        from dispu_tpu.ops.sampling import farthest_point_sample
+
+        pc = read_xyz("demo/gt/Icosahedron.xyz")[:, :3]
+        assert pc.shape == (2048, 3)
+        norm, centroid, furthest = normalize_point_cloud(jnp.asarray(pc))
+        np.testing.assert_allclose(
+            np.asarray(centroid).ravel(),
+            [0.0015769233, -0.0019079042, 0.0049190465],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(furthest).ravel()[0]), 0.99387646, atol=1e-6
+        )
+        seeds = farthest_point_sample(8, jnp.asarray(norm)[None])[0]
+        np.testing.assert_array_equal(
+            np.asarray(seeds), [0, 496, 1809, 1455, 721, 501, 106, 992]
+        )
+
+    def test_fandisk_reads(self):
+        from dispu_tpu.evaluation.meshio import read_xyz
+
+        pc = read_xyz("demo/gt/fandisk.xyz")[:, :3]
+        assert pc.shape == (2048, 3)
+        np.testing.assert_allclose(
+            pc.mean(0), [0.013948, 0.00665, 0.030092], atol=1e-5
+        )
