@@ -124,10 +124,6 @@ class TrainConfig:
     # TPU-specific
     donate_state: bool = True
     compute_dtype: str = "float32"  # or "bfloat16" for the NN compute path
-    # rematerialize the generator forward in the backward pass — trades
-    # recompute FLOPs for activation HBM; only worth switching on when a
-    # large batch spills (b=28 measures slower with it)
-    remat: bool = False
     # keep the whole patch set resident in HBM and ship only batch indices
     # per step (the PU-GAN set is ~100 MB; per-step host uploads otherwise
     # serialize the loop, badly so through a remote-dispatch tunnel)

@@ -1,0 +1,146 @@
+"""Device-side data augmentation.
+
+The reference augments every batch on the host in numpy
+(ref:DisPU/dataset.py:132-140 → ref:Common/point_operation.py), serializing
+the input pipeline with training.  Here augmentation is a pure jittable
+function of a PRNG key that runs *inside* the train step on device — the
+host only ships the raw gt patches to HBM once per batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dispu_tpu.ops.sampling import nonuniform_sample_indices
+
+
+def _rot_z(angle: jnp.ndarray) -> jnp.ndarray:
+    """(…,) angle → (…, 3, 3) rotation about z.
+
+    Parity: ref:Common/point_operation.py:48-52 (z_rotated=True default).
+    The reference right-multiplies by the matrix (``points @ R``).
+    """
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack(
+        [jnp.stack([c, -s, z], -1),
+         jnp.stack([s, c, z], -1),
+         jnp.stack([z, z, o], -1)],
+        axis=-2,
+    )
+
+
+def sample_nonuniform_inputs(
+    key: jax.Array, gt: jnp.ndarray, num_out: int
+) -> jnp.ndarray:
+    """Per-example gaussian-biased subsampling of the dense patch.
+
+    Parity: ref:DisPU/dataset.py:125-130 — in ``random`` mode the sparse
+    input is a nonuniform re-sample of the dense gt patch each step.
+    """
+    b, n, _ = gt.shape
+    keys = jax.random.split(key, b)
+    idx = jax.vmap(lambda k: nonuniform_sample_indices(k, n, num_out))(keys)
+    return jnp.take_along_axis(gt, idx[..., None], axis=1)
+
+
+def augment_batch(
+    key: jax.Array,
+    inputs: jnp.ndarray,
+    gt: jnp.ndarray,
+    jitter_sigma: float = 0.01,
+    jitter_max: float = 0.03,
+    scale_low: float = 0.8,
+    scale_high: float = 1.2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jitter (inputs only) → shared z-rotation → shared uniform scale.
+
+    Parity: ref:DisPU/dataset.py:132-140 — jitter with clip
+    (ref:point_operation.py:74-86), per-example z rotation applied to both
+    clouds (ref:point_operation.py:32-72), per-example scale in
+    [0.8, 1.2] applied to both (ref:point_operation.py:107-123).  The
+    patch radius is *not* rescaled, matching the reference.
+    """
+    kj, kr, ks = jax.random.split(key, 3)
+    b = inputs.shape[0]
+
+    noise = jnp.clip(
+        jitter_sigma * jax.random.normal(kj, inputs.shape),
+        -jitter_max,
+        jitter_max,
+    )
+    inputs = inputs + noise
+
+    angle = jax.random.uniform(kr, (b,)) * 2.0 * jnp.pi
+    rot = _rot_z(angle)  # (b, 3, 3)
+    inputs = jnp.einsum("bnc,bcd->bnd", inputs, rot)
+    gt = jnp.einsum("bnc,bcd->bnd", gt, rot)
+
+    scale = jax.random.uniform(ks, (b, 1, 1), minval=scale_low, maxval=scale_high)
+    return inputs * scale, gt * scale
+
+
+def shift_point_cloud(
+    key: jax.Array,
+    batch: jnp.ndarray,
+    gt: Optional[jnp.ndarray] = None,
+    shift_range: float = 0.3,
+):
+    """Per-cloud random translation (ref:Common/point_operation.py:88-104)."""
+    b = batch.shape[0]
+    shifts = jax.random.uniform(
+        key, (b, 1, 3), minval=-shift_range, maxval=shift_range
+    )
+    if gt is None:
+        return batch + shifts
+    return batch + shifts, gt + shifts
+
+
+def rotate_perturbation(
+    key: jax.Array,
+    batch: jnp.ndarray,
+    angle_sigma: float = 0.03,
+    angle_clip: float = 0.09,
+) -> jnp.ndarray:
+    """Small random full-3D rotations (ref:Common/point_operation.py:126-151)."""
+    b = batch.shape[0]
+    angles = jnp.clip(
+        angle_sigma * jax.random.normal(key, (b, 3)), -angle_clip, angle_clip
+    )
+    cx, sx = jnp.cos(angles[:, 0]), jnp.sin(angles[:, 0])
+    cy, sy = jnp.cos(angles[:, 1]), jnp.sin(angles[:, 1])
+    cz, sz = jnp.cos(angles[:, 2]), jnp.sin(angles[:, 2])
+    z = jnp.zeros_like(cx)
+    o = jnp.ones_like(cx)
+    rx = jnp.stack([o, z, z, z, cx, -sx, z, sx, cx], -1).reshape(b, 3, 3)
+    ry = jnp.stack([cy, z, sy, z, o, z, -sy, z, cy], -1).reshape(b, 3, 3)
+    rz = jnp.stack([cz, -sz, z, sz, cz, z, z, z, o], -1).reshape(b, 3, 3)
+    rot = jnp.einsum("bij,bjk,bkl->bil", rz, ry, rx)
+    return jnp.einsum("bnc,bcd->bnd", batch, rot)
+
+
+def random_point_dropout(
+    key: jax.Array, batch: jnp.ndarray, max_dropout_ratio: float = 0.875
+) -> jnp.ndarray:
+    """Randomly collapse a fraction of points onto the first point (keeps
+    shapes static).  Parity: ref:Common/point_operation.py 'random_point
+    _dropout' — dropped points are replaced by point 0.
+    """
+    b, n, _ = batch.shape
+    k_ratio, k_mask = jax.random.split(key)
+    ratio = jax.random.uniform(k_ratio, (b, 1)) * max_dropout_ratio
+    drop = jax.random.uniform(k_mask, (b, n)) <= ratio
+    first = batch[:, :1, :]
+    return jnp.where(drop[..., None], first, batch)
+
+
+def shuffle_points(key: jax.Array, batch: jnp.ndarray) -> jnp.ndarray:
+    """Shared random permutation of the point axis
+    (ref:Common/point_operation.py:20-29)."""
+    n = batch.shape[1]
+    perm = jax.random.permutation(key, n)
+    return batch[:, perm, :]

@@ -1,0 +1,127 @@
+"""Whole-cloud upsampling via batched patch pipeline.
+
+Parity: ref:DisPU/model.py:306-381 — FPS seeds (3× oversampled), kNN
+patches of 256 points, per-patch normalization, generator, un-normalize,
+merge, final FPS down to N·ratio.
+
+TPU redesign: the reference ran ONE patch per ``sess.run`` with sklearn
+KD-tree patch extraction on host (ref:DisPU/model.py:331,306-313).  Here
+patch extraction (FPS + kNN) runs on device, patches are processed in
+*batches* through one jitted generator call, and 16× runs the generator
+twice inside the same jit (ref:DisPU/model.py:116-118 chains passes).
+Patch counts are padded to a multiple of the batch so every shape is
+static; one compile per distinct input size.
+"""
+
+from __future__ import annotations
+
+import math
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dispu_tpu.config import GeneratorConfig, InferenceConfig
+from dispu_tpu.models.generator import DisPUGenerator
+from dispu_tpu.ops.geometry import normalize_point_cloud
+from dispu_tpu.ops.knn import knn
+from dispu_tpu.ops.sampling import farthest_point_sample
+
+
+class PatchUpsampler:
+    """Upsample arbitrary clouds with a trained generator."""
+
+    def __init__(
+        self,
+        variables,
+        gen_cfg: GeneratorConfig = GeneratorConfig(),
+        inf_cfg: InferenceConfig = InferenceConfig(),
+        mesh=None,
+    ):
+        self.variables = variables
+        self.gen_cfg = gen_cfg
+        self.inf_cfg = inf_cfg
+        self.model = DisPUGenerator(cfg=gen_cfg)
+        self.mesh = mesh
+        # number of chained 4x passes: 4 -> 1, 16 -> 2
+        self.num_passes = max(
+            1, round(math.log(inf_cfg.final_ratio, inf_cfg.step_ratio))
+        )
+        self._upsample_batch = jax.jit(self._upsample_batch_impl)
+        self._prepare = jax.jit(
+            self._prepare_impl, static_argnames=("seed_num",)
+        )
+        self._merge = jax.jit(self._merge_impl, static_argnames=("out_num",))
+
+    # ---------------------------------------------------------------- stages
+
+    def _prepare_impl(self, pc: jnp.ndarray, seed_num: int):
+        """FPS seeds + kNN patch extraction + per-patch normalization."""
+        patch_size = self.inf_cfg.patch_num_point
+        seeds_idx = farthest_point_sample(seed_num, pc[None])[0]
+        seeds = pc[seeds_idx]
+        _, idx = knn(patch_size, pc[None], seeds[None])
+        patches = pc[idx[0]]  # (seed_num, patch_size, 3)
+        patches, centroid, furthest = normalize_point_cloud(patches)
+        return patches, centroid, furthest
+
+    def _upsample_batch_impl(self, patches: jnp.ndarray):
+        """(b, 256, 3) → (b, 256·final_ratio, 3); chained passes for 16×."""
+        pred = patches
+        for _ in range(self.num_passes):
+            _, pred = self.model.apply(self.variables, pred, train=False)
+        return pred
+
+    def _merge_impl(self, all_points: jnp.ndarray, out_num: int):
+        idx = farthest_point_sample(out_num, all_points[None])[0]
+        return all_points[idx]
+
+    # ------------------------------------------------------------------- API
+
+    def upsample(self, pc: np.ndarray) -> np.ndarray:
+        """(n, 3) numpy cloud → (n·final_ratio, 3) upsampled cloud."""
+        inf = self.inf_cfg
+        pc = np.asarray(pc, np.float32)[:, :3]
+        n = pc.shape[0]
+        out_num = n * inf.final_ratio
+
+        pc_n, centroid, furthest = normalize_point_cloud(jnp.asarray(pc))
+        seed_num = int(n / inf.patch_num_point * inf.patch_num_ratio)
+        seed_num = max(seed_num, 1)
+
+        patches, p_centroid, p_furthest = self._prepare(pc_n, seed_num)
+
+        # pad to a multiple of the device batch for static shapes
+        bs = inf.patch_batch
+        if self.mesh is not None:
+            # patch-parallel across the mesh: each device upsamples its
+            # shard of the patch batch (SURVEY §2.3's eval sharding)
+            n_dev = self.mesh.devices.size
+            bs = ((bs + n_dev - 1) // n_dev) * n_dev
+        pad = (-seed_num) % bs
+        if pad:
+            # pad may exceed seed_num (small clouds / large patch_batch):
+            # replicate the first patch rather than slicing short
+            filler = jnp.broadcast_to(
+                patches[:1], (pad,) + patches.shape[1:]
+            )
+            patches = jnp.concatenate([patches, filler], axis=0)
+        preds = []
+        for i in range(patches.shape[0] // bs):
+            chunk = patches[i * bs : (i + 1) * bs]
+            if self.mesh is not None:
+                from dispu_tpu.parallel.mesh import shard_batch
+
+                chunk = shard_batch(self.mesh, chunk)
+            preds.append(self._upsample_batch(chunk))
+        pred = jnp.concatenate(
+            [jax.device_get(p) if self.mesh is not None else p for p in preds],
+            axis=0,
+        )[:seed_num]
+        pred = jnp.asarray(pred)
+
+        # un-normalize patches, merge, final FPS
+        pred = pred * p_furthest + p_centroid
+        merged = pred.reshape(-1, 3)
+        out = self._merge(merged, out_num)
+        out = out * furthest[0] + centroid[0]
+        return np.asarray(out)

@@ -1,0 +1,113 @@
+"""PointNet++-MSG patch critic for the GAN variant.
+
+Parity: ref:DisPU/discriminator.py:20-41 + ref:Common/tf_util2.py:207-254
+(``pointnet_sa_module_msg3``): FPS seeds on the *ground-truth* cloud, then
+for each of three scales, kNN-group both gt and pred around the same seeds,
+run shared leaky-ReLU MLPs on the concatenated neighborhoods, and max-pool
+each half separately — producing paired real/fake per-seed features in one
+pass.  A linear head maps them to patch values; slice [:, :, 0] is the
+real (gt) logit and [:, :, 1] the fake (pred) logit
+(ref:DisPU/model_gan.py:101-103).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dispu_tpu.config import DiscriminatorConfig
+from dispu_tpu.nn.layers import PointConv
+from dispu_tpu.ops.grouping import group_point, query_ball_point
+from dispu_tpu.ops.knn import knn_indices
+from dispu_tpu.ops.sampling import farthest_point_sample, gather_point
+
+_leaky = functools.partial(nn.leaky_relu, negative_slope=0.2)  # tf default
+
+
+class PairedMSGModule(nn.Module):
+    """Multi-scale paired (gt, pred) set abstraction around shared seeds.
+
+    ``fused=False`` reproduces ref:Common/tf_util2.py:207-254
+    (``pointnet_sa_module_msg3``): per-scale output is the (b, np, 2, c)
+    stack of separately max-pooled gt/pred halves.
+    ``fused=True`` reproduces msg2 (ref:tf_util2.py:154-204): an extra
+    fusion layer collapses the real/fake pair into one (b, np, c) feature.
+    """
+
+    cfg: DiscriminatorConfig = DiscriminatorConfig()
+    fused: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, gt: jnp.ndarray, pred: jnp.ndarray, train: bool = False
+    ):
+        cfg = self.cfg
+        npoint = gt.shape[1] // cfg.downsample_ratio
+        seeds = gather_point(gt, farthest_point_sample(npoint, gt))
+
+        def grouped(cloud, nsample, radius):
+            if cfg.knn:
+                idx = knn_indices(nsample, cloud, seeds)
+            else:
+                idx, _ = query_ball_point(radius, nsample, cloud, seeds)
+            return group_point(cloud, idx) - seeds[:, :, None, :]
+
+        scale_feats = []
+        for i, (radius, nsample, mlps) in enumerate(
+            zip(cfg.radius_list, cfg.nsample_list, cfg.mlp_lists)
+        ):
+            g = jnp.concatenate(
+                [grouped(gt, nsample, radius), grouped(pred, nsample, radius)],
+                axis=2,
+            )  # (b, np, 2*ns, 3)
+            for j, c in enumerate(mlps):
+                g = PointConv(
+                    c, activation=_leaky, dtype=self.dtype, name=f"conv{i}_{j}"
+                )(g, train)
+            pooled = jnp.stack(
+                [jnp.max(g[:, :, :nsample], axis=2),
+                 jnp.max(g[:, :, nsample:], axis=2)],
+                axis=2,
+            )  # (b, np, 2, c) — [gt-pool, pred-pool]
+            if self.fused:
+                b_, np_, _, c_ = pooled.shape
+                fusedf = PointConv(
+                    mlps[-1], activation=_leaky, dtype=self.dtype,
+                    name=f"conv_fusion_{i}",
+                )(pooled.reshape(b_, np_, 2 * c_), train)
+                scale_feats.append(fusedf)
+            else:
+                scale_feats.append(pooled)
+
+        return seeds, jnp.concatenate(scale_feats, axis=-1)
+
+
+class PatchDiscriminator(nn.Module):
+    """(pred, gt) → (b, num_seeds, 2, 1) patch values [real, fake]."""
+
+    cfg: DiscriminatorConfig = DiscriminatorConfig()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, pred: jnp.ndarray, gt: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        _, feats = PairedMSGModule(
+            cfg=self.cfg, fused=False, dtype=self.dtype, name="layer1"
+        )(gt, pred, train)
+        values = PointConv(
+            1, activation=None, dtype=self.dtype, name="patch"
+        )(feats, train)
+        return values
+
+
+def split_real_fake(values: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(b, np, 2, 1) patch values → (d_real, d_fake).
+
+    Parity: ref:DisPU/model_gan.py:102-103.
+    """
+    return values[:, :, 0, :], values[:, :, 1, :]

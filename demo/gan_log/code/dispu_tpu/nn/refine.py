@@ -1,0 +1,122 @@
+"""The spatial refiner core (PointShuffle2).
+
+Parity: ref:Common/ops.py:1012-1087.  The reference routed its xyz kNN
+through a host-side nanoflann call (``tf.py_func`` → CPU → back, a sync
+point every training step, ref:Common/ops.py:165); here the kNN is one MXU
+matmul + top_k on device, so the whole refiner is a single fused XLA
+computation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dispu_tpu.nn.attention import PointNonLocalCell, SampleWeights, adaptive_sampling
+from dispu_tpu.nn.layers import PointConv, WeightNetHidden
+from dispu_tpu.ops.grouping import grouping
+
+
+class PointShuffle2(nn.Module):
+    """Local + non-local feature refinement around each (coarse) point.
+
+    Pipeline (all shapes static):
+      1. kNN-group xyz+features (k = ``nsample``).
+      2. local branch: per-edge MLP → learned pooling weights
+         (``WeightNetHidden`` over centered xyz) → feature×weight matmul →
+         flatten → dense.
+      3. skip branch: max-pool the raw grouped features → dense.
+      4. non-local branch: global QKV attention over the whole cloud.
+      5. sum the branches, fuse with a final dense.
+
+    The grouped feature layout follows the reference exactly:
+    ``[centered_xyz(3) | raw_neighbor_xyz(3) | neighbor_features(C)]``
+    (the raw xyz comes from ``grouping(use_xyz=True)``, the centered copy is
+    prepended at ref:Common/ops.py:1035-1036).
+    """
+
+    nsample: int = 16
+    mlp: Tuple[int, ...] = (128, 128, 256)
+    use_bn: bool = False
+    bn_momentum: float = 0.95
+    use_knn: bool = True
+    radius: Optional[float] = None
+    use_nonlocal: bool = True     # 'NL'
+    use_local: bool = True        # 'Local'
+    refine_point: bool = False
+    # feature-gather impl: 'gather' | 'onehot' (bf16 MXU) | 'onehot_hp'
+    # (bit-exact MXU, precision=HIGHEST)
+    gather_impl: str = "gather"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, xyz: jnp.ndarray, feature: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        b, n, c = feature.shape
+        k = self.nsample
+        out_c = self.mlp[-1]
+        kw = dict(use_bn=self.use_bn, bn_momentum=self.bn_momentum,
+                  dtype=self.dtype)
+
+        grouped_xyz, grouped_feat, _ = grouping(
+            feature, k, xyz, xyz, use_xyz=True, use_knn=self.use_knn,
+            radius=self.radius if self.radius is not None else 0.2,
+            gather_impl=self.gather_impl,
+        )
+        centered = grouped_xyz - xyz[:, :, None, :]
+        grouped_feat = jnp.concatenate([centered, grouped_feat], axis=-1)
+
+        new_xyz, new_feat = xyz, feature
+        if self.refine_point:
+            sw = SampleWeights([c, c], use_bn=self.use_bn,
+                               bn_momentum=self.bn_momentum,
+                               dtype=self.dtype, name="noise_refine")
+            new_xyz, new_feat = adaptive_sampling(
+                sw, centered, grouped_feat, k, train
+            )
+
+        if self.use_nonlocal:
+            nl = PointNonLocalCell(
+                bottleneck=max(32, c // 2),
+                out_features=out_c,
+                name="nonlocal", **kw,
+            )(feature, new_feat[:, None, :, :], train)[:, 0]  # (b, n, out_c)
+
+        # skip connection: max over neighbors then dense
+        skip = PointConv(out_c, name="skip", **kw)(
+            jnp.max(grouped_feat, axis=2), train
+        )
+
+        # local branch
+        y = grouped_feat
+        for i, ch in enumerate(self.mlp[:-1]):
+            y = PointConv(ch, name=f"conv{i}", **kw)(y, train)
+        w = WeightNetHidden(
+            (k,), bn_momentum=self.bn_momentum, dtype=self.dtype,
+            name="weight_net",
+        )(centered, train)                     # (b, n, k, k)
+        # feature^T @ weights, computed in the transpose-free operand order:
+        # the big (b,n,k,C') tensor is already laid out (K=k, N=C') for the
+        # MXU, so contracting as w^T·y avoids relayouting 0.5 GB (only the
+        # tiny (k,k) plane transposes); the flatten is therefore k-major and
+        # ``after_conv`` permutes its kernel rows instead (stored layout
+        # stays the reference's C'-major (C',S) plane, ref:Common/ops.py:
+        # 1064-1072 — checkpoints/converter unchanged).  -0.7 ms vs the
+        # (b,n,C',k) form at b=64 on v5e, same values to f32 round-off.
+        c_prime = y.shape[-1]
+        y = jnp.einsum("bnkt,bnkc->bntc", w, y)
+        y = y.reshape(b, n, -1)                # flatten (k, C'), k-major
+        y = PointConv(out_c, name="after_conv",
+                      kernel_row_perm=(c_prime, k), **kw)(y, train)
+
+        y = y + skip
+        if self.use_nonlocal and self.use_local:
+            y = y + nl
+        elif self.use_nonlocal:
+            y = nl
+
+        out = PointConv(out_c, name="aggregation", **kw)(y, train)
+        return new_xyz, out

@@ -1,0 +1,246 @@
+"""Neighborhood construction: ball query and index-based grouping.
+
+TPU-native replacement for ref:tf_ops/grouping/ (CUDA) and the composite
+``grouping`` helper (ref:Common/ops.py:154-179) that the reference routed
+through a host-side nanoflann kNN (``tf.py_func``) — here everything stays
+on device with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dispu_tpu.ops.geometry import pairwise_sq_dist
+from dispu_tpu.ops.knn import knn_indices
+
+
+def query_ball_point(
+    radius,
+    nsample: int,
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    impl: str = "auto",
+    return_dists: bool = False,
+):
+    """First-``nsample`` dataset points within ``radius`` of each query.
+
+    Args:
+      radius: scalar or (b,) per-batch search radius (euclidean).
+      nsample: max points per ball (static).
+      xyz: (b, n, 3) dataset points.
+      new_xyz: (b, m, 3) query points.
+      impl: 'auto' (fused Pallas kernel on TPU when shapes fit, XLA
+        otherwise), 'xla', or 'pallas'.
+
+    Returns:
+      idx: (b, m, nsample) int32 indices into ``xyz``.
+      pts_cnt: (b, m) int32 number of in-ball points (capped at nsample).
+      dists (only if ``return_dists``): (b, m, nsample) f32 squared
+        distances of the selected hits in the hit test's expansion form —
+        selection-grade values with no gradient (padded slots repeat the
+        first hit's distance; empty balls give 0).  Lets callers rank
+        neighbors without paying the per-row TPU gather for coordinates.
+
+    Parity: ref:tf_ops/grouping/tf_grouping_g.cu:1-36 — scans dataset points
+    in index order, keeps the first ``nsample`` hits, and pads the remaining
+    slots by repeating the first hit (lines 26-31).  The CUDA test is
+    ``max(sqrt(d), 1e-20) < radius`` so the query point itself always counts;
+    equivalent to ``d_sq < radius^2`` for any radius > 1e-20.  Per-batch
+    radius tensors supported as in this fork (ref:tf_grouping.py:21-29).
+
+    Implementation: rather than a sequential scan, the first-k-hits-in-index-
+    order are extracted with one ``top_k`` over ``where(hit, index, n)`` —
+    O(n log n) on-device, no host sync, fully batched.  On TPU the Pallas
+    kernel replaces the sort with ``nsample`` masked-min rounds over the
+    VMEM-resident key tile (bit-identical outputs; the repulsion/uniform
+    losses and the discriminator's SA grouping sit on this op every step).
+    """
+    xyz = jnp.asarray(xyz)
+    new_xyz = jnp.asarray(new_xyz)
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() not in ("cpu", "gpu")
+        and xyz.shape[1] <= 4096
+        and xyz.shape[-1] <= 128
+        and nsample <= 128
+    )
+    if use_pallas:
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        return query_ball_pallas(
+            radius, nsample, xyz, new_xyz, with_dists=return_dists
+        )
+    b, n, _ = xyz.shape
+    radius = jnp.broadcast_to(jnp.asarray(radius, xyz.dtype), (b,))
+    d = pairwise_sq_dist(new_xyz, xyz)  # (b, m, n)
+    hit = d < (radius**2)[:, None, None]
+    key = jnp.where(hit, jnp.arange(n, dtype=jnp.int32)[None, None, :], n)
+    k_eff = min(nsample, n)  # nsample may exceed the cloud size
+    neg_small, _ = jax.lax.top_k(-key, k_eff)  # smallest keys first
+    slots = -neg_small  # (b, m, k_eff), ascending hit indices, n = no hit
+    if k_eff < nsample:
+        pad_cols = jnp.full(slots.shape[:-1] + (nsample - k_eff,), n, slots.dtype)
+        slots = jnp.concatenate([slots, pad_cols], axis=-1)
+    valid = slots < n
+    first = slots[..., :1]
+    any_hit = valid[..., :1]
+    pad = jnp.where(any_hit, first, 0)
+    idx = jnp.where(valid, slots, pad).astype(jnp.int32)
+    pts_cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)
+    if return_dists:
+        d_sel = jnp.take_along_axis(d, jnp.where(valid, slots, 0), axis=-1)
+        d_first = d_sel[..., :1]
+        dists = jnp.where(valid, d_sel,
+                          jnp.where(any_hit, d_first, 0.0))
+        return idx, pts_cnt, jax.lax.stop_gradient(dists)
+    return idx, pts_cnt
+
+
+def selection_sort(dist: jnp.ndarray, k: int):
+    """k smallest entries (values + indices) of each distance-matrix row.
+
+    Parity: ref:tf_ops/grouping/tf_grouping_g.cu:80-123 (``selection_sort``
+    — unused by the reference model; one ``top_k`` here).  Returns
+    (dist_out, idx) of shape (..., k), ascending.
+    """
+    neg, idx = jax.lax.top_k(-dist, k)
+    return -neg, idx
+
+
+def group_point(
+    points: jnp.ndarray, idx: jnp.ndarray, impl: str = "gather"
+) -> jnp.ndarray:
+    """Gather per-query neighborhoods by index.
+
+    Args:
+      points: (b, n, c).
+      idx: (b, m, nsample) int32 indices into the n axis.
+      impl: 'gather' (exact, default), 'onehot' — a bf16 one-hot matmul
+        that XLA fuses into an MXU pass, ~2.8× faster than the TPU gather
+        for (1024, 16, 128)-scale neighborhoods but bf16-rounds the
+        gathered values — 'onehot_hp' — the same one-hot contraction at
+        ``precision=HIGHEST``: each output element is a dot product with a
+        single 1.0, and the 3-term bf16 decomposition of an f32 operand is
+        exact, so the result is *bit-identical* to the native gather while
+        still running on the MXU (verified on-chip each bench session) —
+        or 'pallas' — the fused VMEM-resident kernel
+        (:func:`dispu_tpu.ops.pallas_kernels.gather_rows_pallas`): the same
+        exact values in 3 MXU passes instead of HIGHEST's 6, with the
+        one-hot never materialized in HBM; falls back to the native gather
+        off-TPU or for non-f32 tables.
+
+    Returns:
+      (b, m, nsample, c).
+
+    Parity: ref:tf_ops/grouping/tf_grouping_g.cu:38-78; the scatter-add
+    gradient comes from autodiff (deterministic, no atomics) on every path
+    (the one-hot paths transpose the same matmul).
+    """
+    if impl == "pallas":
+        b, n, c = points.shape
+        m, k = idx.shape[1], idx.shape[2]
+        fits_vmem = n <= 4096 and c <= 512
+        if (jax.default_backend() not in ("cpu", "gpu")
+                and points.dtype == jnp.float32 and fits_vmem):
+            from dispu_tpu.ops.pallas_kernels import gather_rows_pallas_diff
+
+            out = gather_rows_pallas_diff(points, idx.reshape(b, m * k))
+            return out.reshape(b, m, k, c)
+        return jax.vmap(lambda p, i: p[i])(points, idx)
+    if impl in ("onehot", "onehot_hp"):
+        b, n, c = points.shape
+        m, k = idx.shape[1], idx.shape[2]
+        if impl == "onehot":
+            onehot = jax.nn.one_hot(
+                idx.reshape(b, m * k), n, dtype=jnp.bfloat16
+            )
+            out = jnp.einsum(
+                "bqn,bnc->bqc", onehot, points.astype(jnp.bfloat16)
+            )
+        else:
+            # NOTE: a 3-term bf16 value split (exact, 3 passes instead of
+            # HIGHEST's 6) measures faster in isolation (10.4 → 6.2 ms at
+            # the refiner scale) but slightly *slower* inside the full
+            # model (32.6 → 33.4 ms) — XLA fuses the plain HIGHEST
+            # contraction with its consumers better.  Keeping the simple
+            # form; revisit if the surrounding fusion changes.
+            onehot = jax.nn.one_hot(idx.reshape(b, m * k), n, dtype=points.dtype)
+            out = jnp.einsum(
+                "bqn,bnc->bqc", onehot, points,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return out.reshape(b, m, k, c).astype(points.dtype)
+    return jax.vmap(lambda p, i: p[i])(points, idx)
+
+
+def grouping(
+    feature: jnp.ndarray,
+    k: int,
+    src_xyz: jnp.ndarray,
+    q_xyz: jnp.ndarray,
+    use_xyz: bool = True,
+    use_knn: bool = True,
+    radius: float = 0.2,
+    gather_impl: str = "gather",
+):
+    """kNN (or ball) neighborhoods of query points, with gathered features.
+
+    Args:
+      feature: (b, n, c) features aligned with ``src_xyz``.
+      k: neighborhood size.
+      src_xyz: (b, n, 3) dataset points.
+      q_xyz: (b, m, 3) query points.
+      use_xyz: prepend raw neighbor xyz to the gathered features.
+      use_knn: exact kNN (reference used host nanoflann here); otherwise
+        ball query with ``radius``.
+
+    Returns:
+      (grouped_xyz, grouped_feature, idx):
+        (b, m, k, 3), (b, m, k, 3+c or c), (b, m, k).
+
+    Parity: ref:Common/ops.py:154-179.  The reference's ``use_knn=False``
+    branch is latently broken (uses an undefined ``idx`` at line 174); this
+    implementation fixes it by gathering features with the ball-query
+    indices, which is the evident intent.
+    """
+    if use_knn:
+        idx = knn_indices(k, src_xyz, q_xyz)
+    else:
+        idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
+    # xyz stays on the exact gather (coordinate precision feeds the
+    # geometry); the wide feature gather may use the fast one-hot path
+    grouped_xyz = group_point(src_xyz, idx)
+    grouped_feature = group_point(feature, idx, impl=gather_impl)
+    if use_xyz:
+        grouped_feature = jnp.concatenate([grouped_xyz, grouped_feature], axis=-1)
+    return grouped_xyz, grouped_feature, idx
+
+
+def dilat_group(
+    xyz: jnp.ndarray,
+    points: jnp.ndarray | None,
+    k: int,
+    dilation: int = 1,
+    use_xyz: bool = False,
+):
+    """Dilated kNN grouping: every ``dilation``-th of the k·d+1 nearest.
+
+    Parity: ref:Common/ops.py:139-152 — kNN with ``k·dilation + 1``
+    neighbors, stride-``dilation`` selection starting after the self
+    column, centered xyz; optionally concat centered xyz onto features.
+
+    Returns (grouped_xyz, grouped_points, idx) with grouped_xyz centered.
+    """
+    idx_full = knn_indices(k * dilation + 1, xyz, xyz)
+    idx = idx_full[:, :, 1::dilation]
+    grouped_xyz = group_point(xyz, idx) - xyz[:, :, None, :]
+    if points is not None:
+        grouped_points = group_point(points, idx)
+        if use_xyz:
+            grouped_points = jnp.concatenate(
+                [grouped_xyz, grouped_points], axis=-1
+            )
+    else:
+        grouped_points = grouped_xyz
+    return grouped_xyz, grouped_points, idx

@@ -1,0 +1,135 @@
+"""Point sampling ops: farthest-point sampling, gathers, categorical sampling.
+
+TPU-native replacements for ref:tf_ops/sampling/ (CUDA) — see each function's
+parity note.  FPS is inherently sequential in the number of samples; the
+XLA version keeps the running min-distance vector live in registers/VMEM
+across a ``lax.fori_loop`` (one fused (n,3) distance + min + argmax per
+step), and a Pallas kernel (``dispu_tpu.ops.pallas_kernels.fps``) keeps the
+whole loop on-core for large n.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def farthest_point_sample(
+    npoint: int, xyz: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Iterative farthest-point sampling.
+
+    Args:
+      npoint: number of points to select (static).
+      xyz: (b, n, 3) input points.
+      impl: 'auto' (Pallas kernel on TPU, XLA loop elsewhere), 'xla', or
+        'pallas'.
+
+    Returns:
+      (b, npoint) int32 indices; the first selected index is always 0.
+
+    Parity: ref:tf_ops/sampling/tf_sampling_g.cu:105-170 — seeds with index
+    0 (line 114-116), keeps a per-point running min squared distance
+    (init 1e38), and at each step picks the argmax of the updated vector.
+    Gradient: none (ref:tf_ops/sampling/tf_sampling.py:57 NoGradient).
+    The two implementations agree exactly except where f32 near-ties make
+    the greedy argmax order ambiguous (both orders are valid FPS results;
+    the CUDA reference has its own tie order too).
+    """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    if impl == "pallas":
+        from dispu_tpu.ops.pallas_kernels import fps_pallas
+
+        return fps_pallas(npoint, xyz)
+    return _fps_xla(npoint, xyz)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _fps_xla(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
+    xyz = jnp.asarray(xyz, jnp.float32)
+    b, n, _ = xyz.shape
+
+    def one_cloud(pts):
+        def body(i, state):
+            mindist, last, idxs = state
+            d = jnp.sum((pts - pts[last]) ** 2, axis=-1)
+            mindist = jnp.minimum(mindist, d)
+            nxt = jnp.argmax(mindist).astype(jnp.int32)
+            return mindist, nxt, idxs.at[i].set(nxt)
+
+        idxs0 = jnp.zeros((npoint,), jnp.int32)
+        mindist0 = jnp.full((n,), 1e38, jnp.float32)
+        _, _, idxs = jax.lax.fori_loop(
+            1, npoint, body, (mindist0, jnp.int32(0), idxs0)
+        )
+        return idxs
+
+    out = jax.vmap(one_cloud)(xyz)
+    return jax.lax.stop_gradient(out)
+
+
+def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of a per-batch point/feature array.
+
+    Args:
+      points: (b, n, c).
+      idx: (b, m) int32.
+
+    Returns:
+      (b, m, c).
+
+    Parity: ref:tf_ops/sampling/tf_sampling_g.cu:172-192 (gather + scatter-add
+    gradient).  Here the scatter-add backward comes from JAX autodiff of
+    ``take_along_axis`` and is deterministic (no CUDA atomics).
+    """
+    return jnp.take_along_axis(points, idx[..., None], axis=-2)
+
+
+def prob_sample(inp: jnp.ndarray, inp_r: jnp.ndarray) -> jnp.ndarray:
+    """Sample categorical indices by inverse-CDF lookup.
+
+    Args:
+      inp: (b, n) non-negative weights.
+      inp_r: (b, m) uniform samples in [0, 1).
+
+    Returns:
+      (b, m) int32 indices distributed ∝ inp.
+
+    Parity: ref:tf_ops/sampling/tf_sampling_g.cu:7-104,194-201 (blocked
+    cumsum + binary search).  Unused by the reference model (only a
+    commented demo, ref:tf_ops/sampling/tf_sampling.py:79-105); provided for
+    capability parity.
+    """
+    cdf = jnp.cumsum(inp, axis=-1)
+    total = cdf[..., -1:]
+    targets = inp_r * total
+    idx = jax.vmap(lambda c, t: jnp.searchsorted(c, t, side="right"))(cdf, targets)
+    return jnp.clip(idx, 0, inp.shape[-1] - 1).astype(jnp.int32)
+
+
+def nonuniform_sample_indices(
+    key: jax.Array, num: int, sample_num: int
+) -> jnp.ndarray:
+    """Gaussian-biased sampling of ``sample_num`` distinct indices in [0, num).
+
+    The reference (ref:Common/point_operation.py:10-18) rejection-samples
+    ints from N(loc·num, 0.3·num) with loc ~ U(0.1, 0.9) until it has
+    ``sample_num`` distinct values — a data-dependent host loop.  The
+    fixed-shape TPU equivalent is Gumbel-top-k: drawing k distinct indices
+    with Gumbel-perturbed log-density argmax is exactly weighted sampling
+    without replacement from the same (truncated, discretized) normal
+    density, so the marginal bias profile matches while shapes stay static.
+
+    Returns:
+      (sample_num,) int32 distinct indices.
+    """
+    k_loc, k_gumbel = jax.random.split(key)
+    loc = jax.random.uniform(k_loc) * 0.8 + 0.1
+    positions = (jnp.arange(num, dtype=jnp.float32) + 0.5) / num
+    log_density = -((positions - loc) ** 2) / (2.0 * 0.3**2)
+    gumbel = jax.random.gumbel(k_gumbel, (num,))
+    _, idx = jax.lax.top_k(log_density + gumbel, sample_num)
+    return idx.astype(jnp.int32)

@@ -1,0 +1,180 @@
+"""GAN-variant training: LSGAN critic + generator, one fused step.
+
+Parity: ref:DisPU/model_gan.py —
+  * G loss = pu_loss + LSGAN generator loss (ref:model_gan.py:92,108-112;
+    the ``gan_w`` flag exists but the reference adds the term unweighted);
+  * uniform loss (10×) is computed and logged but NOT added to the G loss
+    (ref:model_gan.py:91-92,162);
+  * D: LSGAN on paired real/fake patch values from one discriminator pass
+    (ref:model_gan.py:101-109), lr_d = 1e-4 — the reference defines an
+    exponential decay for D but then clobbers it with the base value
+    (``lr_d = max(lr_d_base, 1e-6)``, ref:model_gan.py:190-200), so the
+    effective D learning rate is constant, which we reproduce;
+  * after each D update the discriminator weights are clipped to ±0.01
+    (ref:model_gan.py:222-223).  The reference's variable filter
+    ``name.startswith('discriminator')`` also catches the Adam slot
+    variables — clipping optimizer moments is an evident accident, so here
+    only the parameters are clipped;
+  * per batch: D step, then G step (ref:model_gan.py:299-309).
+
+The whole D-then-G sequence is one jitted function: the generator forward
+used by the D step is shared with the G step's gradient computation through
+XLA CSE where possible, and no host round-trips occur between the updates.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from dispu_tpu import losses as L
+from dispu_tpu.config import ExperimentConfig
+from dispu_tpu.data.augment import augment_batch, sample_nonuniform_inputs
+from dispu_tpu.models.discriminator import PatchDiscriminator, split_real_fake
+from dispu_tpu.models.generator import DisPUGenerator
+from dispu_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from dispu_tpu.train.state import GeneratorState, adam_transform
+
+
+@flax.struct.dataclass
+class GANState:
+    gen: GeneratorState
+    d_params: Any
+    d_opt_state: Any
+
+    @property
+    def epoch(self):
+        return self.gen.epoch
+
+    def next_epoch(self) -> "GANState":
+        return self.replace(gen=self.gen.next_epoch())
+
+
+def create_gan_state(
+    rng: jax.Array, cfg: ExperimentConfig
+) -> GANState:
+    from dispu_tpu.train.state import create_generator_state
+
+    k_g, k_d = jax.random.split(rng)
+    gen_state = create_generator_state(k_g, cfg.generator, cfg.train)
+    disc = PatchDiscriminator(cfg=cfg.discriminator)
+    n_out = cfg.generator.num_out_points
+    dummy = jnp.zeros((1, n_out, 3), jnp.float32)
+    d_vars = disc.init(k_d, dummy, dummy)
+    d_opt = adam_transform(cfg.train).init(d_vars["params"])
+    return GANState(gen=gen_state, d_params=d_vars["params"], d_opt_state=d_opt)
+
+
+def make_gan_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
+    """(state, gt, radius, key) → (state, metrics): D update + clip, then G."""
+    gen_model = DisPUGenerator(
+        cfg=cfg.generator, dtype=jnp.dtype(cfg.train.compute_dtype)
+    )
+    disc_model = PatchDiscriminator(cfg=cfg.discriminator)
+    tx = adam_transform(cfg.train)
+    n_in = cfg.generator.num_points
+    clip = 0.01
+
+    def step(state: GANState, gt, radius, key):
+        k_sample, k_aug = jax.random.split(key)
+        if cfg.data.random_input:
+            inputs = sample_nonuniform_inputs(k_sample, gt, n_in)
+        else:
+            inputs = gt[:, :n_in]
+        if cfg.data.augment:
+            inputs, gt_aug = augment_batch(
+                k_aug, inputs, gt,
+                jitter_sigma=cfg.data.jitter_sigma,
+                jitter_max=cfg.data.jitter_max,
+                scale_low=cfg.data.scale_low,
+                scale_high=cfg.data.scale_high,
+            )
+        else:
+            gt_aug = gt
+
+        gen = state.gen
+        weight_fine = L.weight_fine_schedule(
+            gen.epoch, cfg.loss.weight_fine_boundaries, cfg.loss.weight_fine_values
+        )
+        lr_g = L.lr_schedule(
+            gen.epoch,
+            base_lr=cfg.train.base_lr_g,
+            decay_step_epochs=cfg.train.decay_step_epochs,
+            decay_rate=cfg.train.lr_decay_rate,
+            clip=cfg.train.lr_clip,
+        )
+        lr_d = cfg.train.base_lr_d  # constant — see module docstring
+
+        # ---------------- D step (generator frozen) ----------------------
+        (coarse0, fine0), _ = gen_model.apply(
+            gen.variables(), inputs, train=True, mutable=["batch_stats"]
+        )
+        fine0 = jax.lax.stop_gradient(fine0)
+
+        def d_loss_fn(d_params):
+            values = disc_model.apply({"params": d_params}, fine0, gt_aug)
+            real, fake = split_real_fake(values)
+            return L.discriminator_loss(real, fake)
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_updates, d_opt_state = tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = jax.tree_util.tree_map(
+            lambda p, u: jnp.clip(p - lr_d * u, -clip, clip),
+            state.d_params,
+            d_updates,
+        )
+
+        # ---------------- G step (critic frozen) --------------------------
+        def g_loss_fn(params):
+            (coarse, fine), updates = gen_model.apply(
+                {"params": params, "batch_stats": gen.batch_stats},
+                inputs,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            pu_total, metrics = L.pu_losses(
+                coarse, fine, gt_aug, radius, weight_fine, cfg.loss
+            )
+            values = disc_model.apply({"params": d_params}, fine, gt_aug)
+            _, fake = split_real_fake(values)
+            g_gan = L.generator_loss(fake)
+            total = pu_total + g_gan
+            metrics = dict(metrics, g_gan=g_gan, uniform=10.0 * L.uniform(fine))
+            return total, (metrics, updates["batch_stats"])
+
+        (g_total, (metrics, new_stats)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(gen.params)
+        g_updates, g_opt_state = tx.update(g_grads, gen.opt_state, gen.params)
+        g_params = jax.tree_util.tree_map(
+            lambda p, u: p - lr_g * u, gen.params, g_updates
+        )
+
+        new_state = GANState(
+            gen=gen.replace(
+                params=g_params,
+                batch_stats=new_stats,
+                opt_state=g_opt_state,
+                step=gen.step + 1,
+            ),
+            d_params=d_params,
+            d_opt_state=d_opt_state,
+        )
+        metrics = dict(metrics, total=g_total, d_loss=d_loss, lr=lr_g)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )

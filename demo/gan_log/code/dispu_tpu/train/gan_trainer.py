@@ -1,0 +1,52 @@
+"""GAN experiment driver (parity: ref:DisPU/model_gan.py train loop).
+
+Shares all loop machinery — device-resident batching, crash checkpoint,
+source backup, profiler, periodic visualization, best-CD save schedule —
+with the CD-path :class:`~dispu_tpu.train.trainer.Trainer` through
+``BaseTrainer``; only the state factory, fused D+G step, and log line
+differ (the reference duplicated the whole Model class instead,
+ref:DisPU/model_gan.py vs model.py).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from dispu_tpu.train.gan_steps import create_gan_state, make_gan_train_step
+from dispu_tpu.train.trainer import BaseTrainer
+
+
+class GANTrainer(BaseTrainer):
+    epoch_metric_keys = (
+        "total", "fine_cd", "d_loss", "g_gan", "uniform", "offset_mean"
+    )
+
+    def _make_step(self):
+        return make_gan_train_step(self.cfg, mesh=self.mesh)
+
+    def _make_state(self):
+        return create_gan_state(
+            jax.random.PRNGKey(self.cfg.train.seed), self.cfg
+        )
+
+    def _gen_variables(self, state):
+        return state.gen.variables()
+
+    @staticmethod
+    def _state_step(state) -> int:
+        return int(jax.device_get(state.gen.step))
+
+    def _format_epoch(self, epoch, meters, minutes):
+        return (
+            "epoch %04d g_loss=%.9f fine_cd=%.9f d_loss=%.9f g_gan=%.9f "
+            "uniform=%.9f time=%.4f"
+            % (
+                epoch,
+                meters["total"].avg,
+                meters["fine_cd"].avg,
+                meters["d_loss"].avg,
+                meters["g_gan"].avg,
+                meters["uniform"].avg,
+                minutes,
+            )
+        )

@@ -70,21 +70,13 @@ def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
             clip=cfg.train.lr_clip,
         )
 
-        def fwd(params, inputs):
-            return model.apply(
+        def loss_fn(params):
+            (coarse, fine), updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 inputs,
                 train=True,
                 mutable=["batch_stats"],
             )
-
-        if cfg.train.remat:
-            # recompute the forward during the backward pass instead of
-            # keeping the (b, n, k, c) neighborhood activations live
-            fwd = jax.checkpoint(fwd)
-
-        def loss_fn(params):
-            (coarse, fine), updates = fwd(params, inputs)
             total, metrics = L.pu_losses(
                 coarse, fine, gt_aug, radius, weight_fine, cfg.loss
             )

@@ -163,7 +163,18 @@ def run_test(args, cfg):
     template = create_generator_state(
         jax.random.PRNGKey(0), cfg.generator, cfg.train
     )
-    state = restore_checkpoint(path, template)
+    try:
+        state = restore_checkpoint(path, template)
+    except ValueError:
+        # GAN-trained log dir: the checkpoint is a GANState — restore the
+        # full template and test with its generator half (the reference's
+        # test phase likewise restores only the generator scope from a
+        # GAN checkpoint, ref:DisPU/model.py:344-358)
+        from dispu_tpu.train.gan_steps import create_gan_state
+
+        gan_template = create_gan_state(jax.random.PRNGKey(0), cfg)
+        state = restore_checkpoint(path, gan_template).gen
+        logging.info("restored the generator half of a GAN checkpoint")
 
     out_folder = args.out_folder or os.path.join(cfg.log_dir, "outputs")
     os.makedirs(out_folder, exist_ok=True)

@@ -157,3 +157,36 @@ class TestGANDataParallel:
             for p in jax.tree_util.tree_leaves(new_state.d_params)
         )
         assert max_d <= 0.01 + 1e-6  # weight clip (ref:model_gan.py:222-224)
+
+
+def test_generator_restores_from_gan_checkpoint(tmp_path):
+    """--phase test on a GAN-trained log dir: the checkpoint stores a full
+    GANState; the test phase must restore it and use the generator half
+    (ref:DisPU/model.py:344-358 restores only the generator scope)."""
+    import jax
+
+    from dispu_tpu.config import (DataConfig, ExperimentConfig,
+                                  GeneratorConfig, LossConfig, TrainConfig)
+    from dispu_tpu.train.gan_steps import create_gan_state
+    from dispu_tpu.utils.checkpoint import (latest_checkpoint,
+                                            restore_checkpoint,
+                                            save_checkpoint)
+
+    gen = GeneratorConfig(num_points=32, knn=8, refine_nsample=8)
+    cfg = ExperimentConfig(
+        generator=gen,
+        train=TrainConfig(batch_size=2),
+        data=DataConfig(num_point=32),
+        loss=LossConfig(repulsion_nsample=8),
+    )
+    state = create_gan_state(jax.random.PRNGKey(0), cfg)
+    save_checkpoint(str(tmp_path), state, epoch=7)
+
+    epoch, path = latest_checkpoint(str(tmp_path))
+    assert epoch == 7
+    template = create_gan_state(jax.random.PRNGKey(1), cfg)
+    restored = restore_checkpoint(path, template).gen
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.gen.params)[0]),
+    )
