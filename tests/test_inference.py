@@ -97,3 +97,34 @@ class TestDegenerateInputs:
         out = up.upsample(np.ones((500, 3), np.float32))
         assert out.shape == (2000, 3)
         assert np.isfinite(out).all()
+
+
+def test_fused_pipeline_matches_staged(variables, rng):
+    """The one-jit pipeline must reproduce the stage-by-stage flow."""
+    import jax.numpy as jnp
+
+    up = PatchUpsampler(
+        variables, gen_cfg=GEN,
+        inf_cfg=InferenceConfig(patch_num_point=64, patch_batch=4),
+    )
+    pc = rng.randn(300, 3).astype(np.float32)
+    fused = up.upsample(pc)
+
+    # staged reference composition (what the mesh path runs)
+    from dispu_tpu.ops.geometry import normalize_point_cloud
+    pc_n, centroid, furthest = normalize_point_cloud(jnp.asarray(pc))
+    seed_num = max(int(300 / 64 * 3), 1)
+    patches, p_c, p_f = up._prepare(pc_n, seed_num=seed_num)
+    pad = (-seed_num) % 4
+    if pad:
+        patches = jnp.concatenate(
+            [patches, jnp.broadcast_to(patches[:1],
+                                       (pad,) + patches.shape[1:])], 0)
+    preds = [up._upsample_batch(patches[i * 4:(i + 1) * 4])
+             for i in range(patches.shape[0] // 4)]
+    pred = jnp.concatenate(preds, 0)[:seed_num] * p_f + p_c
+    staged = up._merge(pred.reshape(-1, 3), out_num=1200)
+    staged = np.asarray(staged * furthest[0] + centroid[0])
+
+    assert fused.shape == staged.shape == (1200, 3)
+    np.testing.assert_allclose(fused, staged, atol=1e-5)
