@@ -167,3 +167,35 @@ class TestDataset:
         assert len(batches) == 5
         gt, inp, radius = batches[0]
         assert gt.shape[0] == 4 and radius.shape == (4,)
+
+
+def test_h5_dataset_branch(tmp_path):
+    """The real-data path: write a PU-GAN-format h5 and load it through
+    PatchDataset (ref:DisPU/dataset.py:52-75 'random' mode: dense cloud
+    for both input and gt, gt-normalized, unit radius)."""
+    import h5py
+
+    from dispu_tpu.data.dataset import PatchDataset
+
+    rng = np.random.RandomState(0)
+    dense = (rng.randn(6, 1024, 3) * 2.0 + 1.0).astype(np.float32)
+    path = str(tmp_path / "PUGAN_poisson_256_poisson_1024.h5")
+    with h5py.File(path, "w") as f:
+        f["poisson_1024"] = dense
+        f["poisson_256"] = dense[:, :256]
+
+    ds = PatchDataset(num_point=256, up_ratio=4, h5_path=path)
+    assert ds.gt.shape == (6, 1024, 3)
+    assert ds.inputs.shape == (6, 1024, 3)
+    np.testing.assert_allclose(ds.radius, np.ones(6), atol=0)
+    # gt normalized: centroid ~0, max radius ~1
+    np.testing.assert_allclose(ds.gt.mean(axis=1), 0.0, atol=1e-5)
+    r = np.linalg.norm(ds.gt, axis=-1).max(axis=1)
+    np.testing.assert_allclose(r, 1.0, atol=1e-5)
+    # 'random' mode: inputs share gt's normalization (same cloud here)
+    np.testing.assert_allclose(ds.inputs, ds.gt, atol=1e-6)
+
+    # non-random mode reads the sparse cloud as input
+    ds2 = PatchDataset(num_point=256, up_ratio=4, h5_path=path,
+                       random_input=False)
+    assert ds2.inputs.shape == (6, 256, 3)
