@@ -227,3 +227,28 @@ class TestChunkedNN:
             np.testing.assert_allclose(
                 np.asarray(w), np.asarray(g), atol=1e-5
             )
+
+
+class TestChamferViaKnnKernel:
+    def test_k1_selection_matches_argmin(self, rng):
+        """nn_distance's TPU path picks the nearest neighbor with the
+        fused kNN kernel at k=1; index selection must equal the XLA
+        argmin (first occurrence) on the same expansion distances."""
+        from dispu_tpu.ops.geometry import pairwise_sq_dist
+        from dispu_tpu.ops.pallas_kernels import knn_pallas
+
+        a = jnp.asarray(rng.randn(3, 100, 3), np.float32)
+        b = jnp.asarray(rng.randn(3, 140, 3), np.float32)
+        d = pairwise_sq_dist(a, b)
+        idx_ref = jnp.argmin(d, axis=-1).astype(np.int32)
+        _, idx_k = knn_pallas(1, b, a, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(idx_k[..., 0]), np.asarray(idx_ref))
+
+        # tie-heavy: duplicated dataset points
+        b2 = jnp.concatenate([b[:, :70], b[:, :70]], axis=1)
+        d2 = pairwise_sq_dist(a, b2)
+        idx_ref2 = jnp.argmin(d2, axis=-1).astype(np.int32)
+        _, idx_k2 = knn_pallas(1, b2, a, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(idx_k2[..., 0]), np.asarray(idx_ref2))
