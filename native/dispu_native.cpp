@@ -313,6 +313,53 @@ void dispu_render_points(const float* points, int n, int size, int radius,
   }
 }
 
+// Faithful reimplementation of the reference's color ball renderer
+// (ref:tf_ops/renderball/render_balls_so.cpp:14-57): integer pixel
+// coordinates, per-point colors, sphere-shaded disk pattern (dz/r),
+// depth test on z + dz, intensity from the global z range, and the
+// reference's channel-order quirk (out[0] = b·c2, out[1] = g·c0,
+// out[2] = r·c1) preserved bit-for-bit so renders match.
+void dispu_render_ball(int h, int w, uint8_t* show, int n,
+                       const int32_t* xyzs, const float* c0, const float* c1,
+                       const float* c2, int r) {
+  r = std::max(r, 1);
+  std::vector<int> depth((size_t)h * w, -2100000000);
+  struct Pat { int x, y, z; float s; };
+  std::vector<Pat> pattern;
+  for (int dx = -r; dx <= r; ++dx)
+    for (int dy = -r; dy <= r; ++dy)
+      if (dx * dx + dy * dy < r * r) {
+        double dz = std::sqrt(double(r * r - dx * dx - dy * dy));
+        pattern.push_back({dx, dy, (int)dz, (float)(dz / r)});
+      }
+  double zmin = 0, zmax = 0;
+  for (int i = 0; i < n; ++i) {
+    if (i == 0) {
+      zmin = xyzs[2] - r;
+      zmax = xyzs[2] + r;
+    } else {
+      zmin = std::min(zmin, double(xyzs[i * 3 + 2] - r));
+      zmax = std::max(zmax, double(xyzs[i * 3 + 2] + r));
+    }
+  }
+  for (int i = 0; i < n; ++i) {
+    int x = xyzs[i * 3], y = xyzs[i * 3 + 1], z = xyzs[i * 3 + 2];
+    for (const Pat& p : pattern) {
+      int x2 = x + p.x, y2 = y + p.y, z2 = z + p.z;
+      if (x2 < 0 || x2 >= h || y2 < 0 || y2 >= w) continue;
+      size_t pix = (size_t)x2 * w + y2;
+      if (depth[pix] < z2) {
+        depth[pix] = z2;
+        double intensity =
+            std::min(1.0, (z2 - zmin) / (zmax - zmin) * 0.7 + 0.3);
+        show[pix * 3 + 0] = (uint8_t)(p.s * c2[i] * intensity);
+        show[pix * 3 + 1] = (uint8_t)(p.s * c0[i] * intensity);
+        show[pix * 3 + 2] = (uint8_t)(p.s * c1[i] * intensity);
+      }
+    }
+  }
+}
+
 // Exact point-to-mesh distances, multithreaded over points.
 // points (np, 3); verts (nv, 3); faces (nf, 3) int32.
 // out_dist (np,), out_nearest (np, 3) — euclidean distance + mapped point.

@@ -91,3 +91,82 @@ class TestPointToMesh:
         d, nearest = native.point_to_mesh(pts, verts, faces)
         np.testing.assert_allclose(d, [0.0, 2.0], atol=1e-6)
         np.testing.assert_allclose(nearest[1], [0, 0, 0], atol=1e-6)
+
+
+class TestRenderBall:
+    def _oracle(self, h, w, xyzs, c0, c1, c2, r):
+        """Literal numpy transcription of the reference loop
+        (ref:tf_ops/renderball/render_balls_so.cpp:14-57)."""
+        r = max(r, 1)
+        depth = np.full((h, w), -2100000000, np.int64)
+        show = np.zeros((h, w, 3), np.uint8)
+        pattern = []
+        for dx in range(-r, r + 1):
+            for dy in range(-r, r + 1):
+                if dx * dx + dy * dy < r * r:
+                    dz = np.sqrt(float(r * r - dx * dx - dy * dy))
+                    pattern.append((dx, dy, int(dz), dz / r))
+        zmin = (xyzs[:, 2] - r).min()
+        zmax = (xyzs[:, 2] + r).max()
+        for i in range(len(xyzs)):
+            x, y, z = xyzs[i]
+            for dx, dy, dz, s in pattern:
+                x2, y2, z2 = x + dx, y + dy, z + dz
+                if 0 <= x2 < h and 0 <= y2 < w and depth[x2, y2] < z2:
+                    depth[x2, y2] = z2
+                    inten = min(1.0, (z2 - zmin) / (zmax - zmin) * 0.7 + 0.3)
+                    show[x2, y2, 0] = np.uint8(s * c2[i] * inten)
+                    show[x2, y2, 1] = np.uint8(s * c0[i] * inten)
+                    show[x2, y2, 2] = np.uint8(s * c1[i] * inten)
+        return show
+
+    def test_matches_reference_semantics(self, rng):
+        from dispu_tpu import native
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        n, h, w = 60, 64, 80
+        xyzs = np.stack([
+            rng.randint(0, h, n), rng.randint(0, w, n),
+            rng.randint(0, 100, n)
+        ], axis=1).astype(np.int32)
+        c0 = rng.rand(n).astype(np.float32) * 255
+        c1 = rng.rand(n).astype(np.float32) * 255
+        c2 = rng.rand(n).astype(np.float32) * 255
+        got = native.render_ball(h, w, xyzs, c0, c1, c2, radius=5)
+        want = self._oracle(h, w, xyzs, c0, c1, c2, 5)
+        np.testing.assert_array_equal(got, want)
+
+    def test_interpolation_visualization_flow(self, rng):
+        """The visu_interpolation.py demo (ref:tf_ops/interpolation/
+        visu_interpolation.py — Python-2 dead code in the reference):
+        inverse-distance-interpolate colors from 4 anchors, render."""
+        import jax.numpy as jnp
+
+        from dispu_tpu import native
+        from dispu_tpu.ops.interpolate import three_interpolate, three_nn
+
+        if not native.available():
+            pytest.skip("native library unavailable")
+        anchors = jnp.asarray(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 1]], jnp.float32
+        )[None]
+        colors = jnp.asarray(
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+            jnp.float32,
+        )[None]
+        cloud = jnp.asarray(rng.rand(100, 3), jnp.float32)[None]
+        dist, idx = three_nn(cloud, anchors)
+        dist = jnp.maximum(dist, 1e-10)
+        weight = (1.0 / dist) / jnp.sum(1.0 / dist, axis=2, keepdims=True)
+        interp = three_interpolate(colors, idx, weight)[0]
+        assert np.isfinite(np.asarray(interp)).all()
+
+        px = np.clip((np.asarray(cloud[0]) * 60 + 2), 0, 63).astype(np.int32)
+        xyzs = np.concatenate([px[:, :2], px[:, 2:]], axis=1)
+        img = native.render_ball(
+            64, 64, xyzs,
+            np.asarray(interp[:, 0]), np.asarray(interp[:, 1]),
+            np.asarray(interp[:, 2]), radius=4,
+        )
+        assert img.shape == (64, 64, 3) and img.max() > 0
