@@ -119,15 +119,16 @@ class PatchUpsampler:
             out = out * furthest[0] + centroid[0]
             return np.asarray(out)
 
+        # mesh path: patch-parallel across devices, staged (patch shards
+        # cross devices between the stages, so the pipeline stays split)
+        from dispu_tpu.parallel.mesh import shard_batch
+
         patches, p_centroid, p_furthest = self._prepare(pc_n, seed_num)
 
-        # pad to a multiple of the device batch for static shapes
-        bs = inf.patch_batch
-        if self.mesh is not None:
-            # patch-parallel across the mesh: each device upsamples its
-            # shard of the patch batch (SURVEY §2.3's eval sharding)
-            n_dev = self.mesh.devices.size
-            bs = ((bs + n_dev - 1) // n_dev) * n_dev
+        # pad the patch batch to a multiple of the device count so every
+        # shard has static shape (SURVEY §2.3's eval sharding)
+        n_dev = self.mesh.devices.size
+        bs = ((inf.patch_batch + n_dev - 1) // n_dev) * n_dev
         pad = (-seed_num) % bs
         if pad:
             # pad may exceed seed_num (small clouds / large patch_batch):
@@ -138,15 +139,10 @@ class PatchUpsampler:
             patches = jnp.concatenate([patches, filler], axis=0)
         preds = []
         for i in range(patches.shape[0] // bs):
-            chunk = patches[i * bs : (i + 1) * bs]
-            if self.mesh is not None:
-                from dispu_tpu.parallel.mesh import shard_batch
-
-                chunk = shard_batch(self.mesh, chunk)
+            chunk = shard_batch(self.mesh, patches[i * bs : (i + 1) * bs])
             preds.append(self._upsample_batch(chunk))
         pred = jnp.concatenate(
-            [jax.device_get(p) if self.mesh is not None else p for p in preds],
-            axis=0,
+            [jax.device_get(p) for p in preds], axis=0
         )[:seed_num]
         pred = jnp.asarray(pred)
 

@@ -140,7 +140,10 @@ def group_point(
     if impl == "pallas":
         b, n, c = points.shape
         m, k = idx.shape[1], idx.shape[2]
-        fits_vmem = n <= 4096 and c <= 512
+        # working set per grid step: f32 table (n·c·4) + three bf16
+        # decomposition copies (n·c·6) + transposed one-hot (n·tq·2) +
+        # f32 accumulator — cap n·c so the total stays well under VMEM
+        fits_vmem = n <= 4096 and c <= 256 and n * c <= 4096 * 128
         if (jax.default_backend() not in ("cpu", "gpu")
                 and points.dtype == jnp.float32 and fits_vmem):
             from dispu_tpu.ops.pallas_kernels import gather_rows_pallas_diff

@@ -130,13 +130,21 @@ def make_gan_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
         )
 
         # ---------------- G step (critic frozen) --------------------------
-        def g_loss_fn(params):
-            (coarse, fine), updates = gen_model.apply(
+        def gen_fwd(params, inputs):
+            return gen_model.apply(
                 {"params": params, "batch_stats": gen.batch_stats},
                 inputs,
                 train=True,
                 mutable=["batch_stats"],
             )
+
+        if cfg.train.remat:
+            # same knob as the CD step: recompute the generator forward in
+            # the backward instead of keeping neighborhood activations live
+            gen_fwd = jax.checkpoint(gen_fwd)
+
+        def g_loss_fn(params):
+            (coarse, fine), updates = gen_fwd(params, inputs)
             pu_total, metrics = L.pu_losses(
                 coarse, fine, gt_aug, radius, weight_fine, cfg.loss
             )
