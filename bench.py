@@ -120,10 +120,14 @@ def main():
 
     float(fwd_many(variables, x))  # warmup/compile
 
-    t0 = time.perf_counter()
-    checksum = float(fwd_many(variables, x))  # fetch forces completion
-    dt = time.perf_counter() - t0
-    assert np.isfinite(checksum)
+    # best-of-3: the recorded number is on-chip throughput, not the
+    # quietness of the shared host/tunnel during one particular loop
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        checksum = float(fwd_many(variables, x))  # fetch forces completion
+        dt = min(dt, time.perf_counter() - t0)
+        assert np.isfinite(checksum)
 
     patches_per_sec = batch * iters / dt
     print(
