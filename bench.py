@@ -130,6 +130,31 @@ def main():
         assert np.isfinite(checksum)
 
     patches_per_sec = batch * iters / dt
+
+    # informational: the exact-path (default gather) configuration too —
+    # training/parity runs use this; the JSON headline stays the turbo
+    # serving configuration
+    cfg_exact = GeneratorConfig()
+    model_e = DisPUGenerator(cfg=cfg_exact)
+    vars_e = model_e.init(jax.random.PRNGKey(0), x, train=False)
+
+    @jax.jit
+    def fwd_exact(variables, x0):
+        def body(carry, _):
+            _, fine = model_e.apply(variables, carry, train=False)
+            return fine[:, : cfg_exact.num_points, :], jnp.sum(fine)
+        final, sums = jax.lax.scan(body, x0, None, length=iters)
+        return jnp.sum(sums)
+
+    float(fwd_exact(vars_e, x))
+    dte = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fwd_exact(vars_e, x))
+        dte = min(dte, time.perf_counter() - t0)
+    print(f"exact-path: {batch * iters / dte:.1f} patches/sec "
+          "(bit-identical gathers, default config)")
+
     print(
         json.dumps(
             {
