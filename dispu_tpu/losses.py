@@ -105,11 +105,9 @@ def repulsion(
         neg_top, _ = jax.lax.top_k(-dists, 5)
         val = neg_top[:, :, 1:]  # drop the nearest (self)
     else:
-        idx, _, d_sel = query_ball_point(
-            radius, nsample, pred, pred, return_dists=True
+        _, _, idx5 = query_ball_point(
+            radius, nsample, pred, pred, select_smallest=5
         )
-        _, sub = jax.lax.top_k(-d_sel, 5)              # (b, m, 5)
-        idx5 = jnp.take_along_axis(idx, sub, axis=-1)
         grouped = group_point(pred, idx5) - pred[:, :, None, :]
         dists5 = jnp.sum(grouped**2, axis=-1)          # exact, differentiable
         val = -dists5[:, :, 1:]  # drop the nearest (self)

@@ -22,6 +22,7 @@ def query_ball_point(
     new_xyz: jnp.ndarray,
     impl: str = "auto",
     return_dists: bool = False,
+    select_smallest: int = 0,
 ):
     """First-``nsample`` dataset points within ``radius`` of each query.
 
@@ -41,6 +42,10 @@ def query_ball_point(
         selection-grade values with no gradient (padded slots repeat the
         first hit's distance; empty balls give 0).  Lets callers rank
         neighbors without paying the per-row TPU gather for coordinates.
+      sel_idx (only if ``select_smallest`` > 0): (b, m, select_smallest)
+        int32 — the dataset indices of the lowest-distance hits, i.e.
+        ``take_along(idx, top_k(-dists, k).indices)`` selected inside the
+        kernel on TPU (no sort, no (b, m, nsample) round-trip).
 
     Parity: ref:tf_ops/grouping/tf_grouping_g.cu:1-36 — scans dataset points
     in index order, keeps the first ``nsample`` hits, and pads the remaining
@@ -69,7 +74,8 @@ def query_ball_point(
         from dispu_tpu.ops.pallas_kernels import query_ball_pallas
 
         return query_ball_pallas(
-            radius, nsample, xyz, new_xyz, with_dists=return_dists
+            radius, nsample, xyz, new_xyz,
+            with_dists=return_dists, select_smallest=select_smallest,
         )
     b, n, _ = xyz.shape
     radius = jnp.broadcast_to(jnp.asarray(radius, xyz.dtype), (b,))
@@ -88,12 +94,19 @@ def query_ball_point(
     pad = jnp.where(any_hit, first, 0)
     idx = jnp.where(valid, slots, pad).astype(jnp.int32)
     pts_cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)
-    if return_dists:
+    if return_dists or select_smallest:
         d_sel = jnp.take_along_axis(d, jnp.where(valid, slots, 0), axis=-1)
         d_first = d_sel[..., :1]
         dists = jnp.where(valid, d_sel,
                           jnp.where(any_hit, d_first, 0.0))
-        return idx, pts_cnt, jax.lax.stop_gradient(dists)
+        dists = jax.lax.stop_gradient(dists)
+        extras = []
+        if return_dists:
+            extras.append(dists)
+        if select_smallest:
+            _, sub = jax.lax.top_k(-dists, select_smallest)
+            extras.append(jnp.take_along_axis(idx, sub, axis=-1))
+        return (idx, pts_cnt, *extras)
     return idx, pts_cnt
 
 

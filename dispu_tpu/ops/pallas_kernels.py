@@ -268,7 +268,8 @@ def knn_pallas(
     return dist_out[:, :m, :k], idx_out[:, :m, :k]
 
 
-def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool):
+def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool,
+                      select_smallest: int = 0):
     """Fused ball query: distance tile + first-k-hits-in-index-order.
 
     Same VMEM-resident structure as the kNN kernel, but the selection
@@ -286,10 +287,11 @@ def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool):
     """
 
     def kernel(r2_ref, pts_ref, q_ref, *out_refs):
-        if with_dists:
-            slots_ref, cnt_ref, dist_ref = out_refs
-        else:
-            slots_ref, cnt_ref = out_refs
+        refs = list(out_refs)
+        slots_ref = refs.pop(0)
+        cnt_ref = refs.pop(0)
+        dist_ref = refs.pop(0) if with_dists else None
+        sel_ref = refs.pop(0) if select_smallest else None
         i = pl.program_id(0)
         p = pts_ref[0]  # (n_pad, c_pad)
         q = q_ref[0]    # (tm, c_pad)
@@ -314,36 +316,82 @@ def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool):
         key = jnp.where(hit, lane, n_actual)
 
         slots_ref[0] = jnp.full((tm, k_pad), n_actual, jnp.int32)
-        if with_dists:
-            dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
+        need_dists = with_dists or select_smallest > 0
 
         # keys are unique lane indices, so walking the ascending order only
         # needs the previous selection as a threshold — one masked-min pass
         # per round, no key-tile rewrite
-        def body(j, sel):
+        def body(j, carry):
+            sel, dists = carry
             sel2 = jnp.min(
                 jnp.where(key > sel, key, n_actual), axis=1, keepdims=True
             )
             slots_ref[0] = jnp.where(lane_k == j, sel2, slots_ref[0])
-            if with_dists:
+            if need_dists:
                 dv = jnp.min(
                     jnp.where(lane == sel2, d, jnp.inf),
                     axis=1, keepdims=True,
                 )
                 dv = jnp.where(sel2 < n_actual, dv, 0.0)
-                dist_ref[0] = jnp.where(lane_k == j, dv, dist_ref[0])
-            return sel2
+                dists = jnp.where(lane_k == j, dv, dists)
+            return sel2, dists
 
-        jax.lax.fori_loop(
-            0, nsample, body, jnp.full((tm, 1), -1, jnp.int32)
+        _, dists = jax.lax.fori_loop(
+            0,
+            nsample,
+            body,
+            (jnp.full((tm, 1), -1, jnp.int32),
+             jnp.zeros((tm, k_pad), jnp.float32)),
         )
+        if with_dists:
+            dist_ref[0] = dists
         cnt = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
         cnt_ref[0] = jnp.broadcast_to(cnt, (tm, cnt_ref.shape[-1]))
+
+        if select_smallest:
+            # the `select_smallest` lowest-distance hits, resolved to
+            # dataset indices, with exactly the composed semantics of
+            # top_k(-dists, k) over the wrapper's padded distance rows
+            # (pad slots repeat the first hit's distance; stable ties by
+            # slot position) followed by take_along(idx, ...).
+            s = slots_ref[0]
+            valid = s < n_actual
+            first_slot = jnp.min(
+                jnp.where(lane_k == 0, s, n_actual), axis=1, keepdims=True
+            )
+            d0 = jnp.min(
+                jnp.where(lane_k == 0, dists, jnp.inf), axis=1, keepdims=True
+            )
+            dfix = jnp.where(valid, dists, d0)
+            dfix = jnp.where(lane_k < nsample, dfix, jnp.inf)
+            pad_idx = jnp.where(first_slot < n_actual, first_slot, 0)
+            sel_pad = sel_ref.shape[-1]
+            lane_s = jax.lax.broadcasted_iota(jnp.int32, (tm, sel_pad), 1)
+            sel_ref[0] = jnp.zeros((tm, sel_pad), jnp.int32)
+
+            mv = jnp.full((tm, 1), -jnp.inf, jnp.float32)
+            pos = jnp.full((tm, 1), -1, jnp.int32)
+            for j in range(select_smallest):
+                later = (dfix > mv) | ((dfix == mv) & (lane_k > pos))
+                mv = jnp.min(
+                    jnp.where(later, dfix, jnp.inf), axis=1, keepdims=True
+                )
+                pos = jnp.min(
+                    jnp.where((dfix == mv) & later, lane_k, k_pad),
+                    axis=1,
+                    keepdims=True,
+                )
+                sval = jnp.min(
+                    jnp.where(lane_k == pos, s, n_actual),
+                    axis=1, keepdims=True,
+                )
+                out_val = jnp.where(sval < n_actual, sval, pad_idx)
+                sel_ref[0] = jnp.where(lane_s == j, out_val, sel_ref[0])
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6, 7))
 def query_ball_pallas(
     radius,
     nsample: int,
@@ -352,6 +400,7 @@ def query_ball_pallas(
     tile_m: int = 256,
     interpret: bool = False,
     with_dists: bool = False,
+    select_smallest: int = 0,
 ):
     """Ball query via the fused Pallas kernel.
 
@@ -364,6 +413,12 @@ def query_ball_pallas(
     distances of the selected hits (expansion form |q|²−2q·p+|p|², the
     same values the hit test used; padded slots repeat the first hit's
     distance, empty balls give 0) — no gradient, selection-grade values.
+
+    ``select_smallest=k`` additionally returns the dataset indices of the
+    k lowest-distance hits per query, (b, m, k) int32 — exactly
+    ``take_along(idx, top_k(-dists, k).indices)`` of the composed padded
+    outputs, but selected inside the kernel so the caller skips a sort
+    and a (b, m, nsample) round-trip (the repulsion loss's shape).
     """
     # indices/counts carry no gradient (ref: NoGradient on the CUDA op);
     # stopping tangents keeps reverse-mode linearization away from the
@@ -402,6 +457,12 @@ def query_ball_pallas(
             pl.BlockSpec((1, tile_m, k_pad), lambda i, j, *_: (i, j, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32))
+    if select_smallest:
+        sel_pad = _round_up(max(select_smallest, 128), 128)
+        out_specs.append(
+            pl.BlockSpec((1, tile_m, sel_pad), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, m_pad, sel_pad), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -415,7 +476,7 @@ def query_ball_pallas(
         out_specs=out_specs,
     )
     outs = pl.pallas_call(
-        _make_ball_kernel(min(nsample, n), n, with_dists),
+        _make_ball_kernel(min(nsample, n), n, with_dists, select_smallest),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -428,12 +489,19 @@ def query_ball_pallas(
     pad = jnp.where(valid[..., :1], first, 0)
     idx = jnp.where(valid, slots, pad).astype(jnp.int32)
     pts_cnt = jnp.minimum(cnt[:, :m, 0], nsample).astype(jnp.int32)
+    extras = []
+    pos = 2
     if with_dists:
-        d_raw = outs[2][:, :m, :nsample]
+        d_raw = outs[pos][:, :m, :nsample]
+        pos += 1
         d_first = d_raw[..., :1]
         dists = jnp.where(valid, d_raw,
                           jnp.where(valid[..., :1], d_first, 0.0))
-        return idx, pts_cnt, dists
+        extras.append(dists)
+    if select_smallest:
+        extras.append(outs[pos][:, :m, :select_smallest])
+    if extras:
+        return (idx, pts_cnt, *extras)
     return idx, pts_cnt
 
 

@@ -146,6 +146,36 @@ class TestQueryBallPallas:
             np.testing.assert_allclose(
                 np.asarray(d_g), np.asarray(d_r), atol=1e-6)
 
+    def test_select_smallest_matches_composed_topk(self, rng):
+        """In-kernel k-lowest-distance selection must equal the composed
+        top_k(-dists, k) + take_along of the padded outputs."""
+        from dispu_tpu.ops.grouping import query_ball_point
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        for radius, scale in ((0.5, 1.0), (1e-4, 1.0), (50.0, 1.0),
+                              (0.5, 0.0)):  # 0.0 → all-identical points
+            pts = jnp.asarray(rng.randn(2, 150, 3) * scale, np.float32)
+            q = jnp.asarray(rng.randn(2, 60, 3) * scale, np.float32)
+            _, _, want = query_ball_point(
+                radius, 12, pts, q, impl="xla", select_smallest=5)
+            _, _, got = query_ball_pallas(
+                radius, 12, pts, q, interpret=True, select_smallest=5)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_select_smallest_with_dists_together(self, rng):
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        pts = jnp.asarray(rng.randn(1, 90, 3), np.float32)
+        outs = query_ball_pallas(
+            0.8, 10, pts, pts, interpret=True,
+            with_dists=True, select_smallest=4)
+        idx, cnt, dists, sel = outs
+        assert dists.shape == (1, 90, 10) and sel.shape == (1, 90, 4)
+        # both extras must match their composed equivalents
+        _, sub = jax.lax.top_k(-dists, 4)
+        want = jnp.take_along_axis(idx, sub, axis=-1)
+        np.testing.assert_array_equal(np.asarray(sel), np.asarray(want))
+
     def test_under_grad_context(self, rng):
         """A loss built on pallas ball-query neighborhoods must
         differentiate (pallas_call has no JVP rule; the query stops input
