@@ -68,10 +68,15 @@ def parity_guard():
     # ball query: fused masked-min kernel vs the XLA top_k-over-keys path
     # (bit-equal indices AND counts — the repulsion/uniform losses and the
     # discriminator's SA grouping ride this op)
-    i_x, c_x = jax.jit(
-        lambda p: query_ball_point(0.3, 16, p, p, impl="xla"))(pts)
-    i_p, c_p = jax.jit(lambda p: query_ball_pallas(0.3, 16, p, p))(pts)
-    ball_ok = bool(jnp.array_equal(i_x, i_p) and jnp.array_equal(c_x, c_p))
+    i_x, c_x, s_x = jax.jit(
+        lambda p: query_ball_point(0.3, 16, p, p, impl="xla",
+                                   select_smallest=5))(pts)
+    i_p, c_p, s_p = jax.jit(
+        lambda p: query_ball_pallas(0.3, 16, p, p, select_smallest=5))(pts)
+    ball_ok = bool(
+        jnp.array_equal(i_x, i_p) and jnp.array_equal(c_x, c_p)
+        and jnp.array_equal(s_x, s_p)  # in-kernel top-5 (repulsion path)
+    )
 
     print(
         "parity knn_pallas=%s fps_pallas=%s onehot_hp_gather=%s ball_query=%s"
@@ -150,8 +155,9 @@ def main():
     dte = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(fwd_exact(vars_e, x))
+        cs = float(fwd_exact(vars_e, x))
         dte = min(dte, time.perf_counter() - t0)
+        assert np.isfinite(cs)
     print(f"exact-path: {batch * iters / dte:.1f} patches/sec "
           "(bit-identical gathers, default config)")
 

@@ -88,15 +88,17 @@ def repulsion(
     neighbors (padding repeats the first hit, exactly as the CUDA op), take
     the 5 nearest, drop the self column, penalize ``max(0, h − d²)``.
 
-    TPU note: the ball path ranks neighbors by the query's own
-    selection-grade distances (``return_dists``) and only then gathers the
-    5 winners' coordinates for the exact, differentiable re-evaluation —
-    the TPU gather costs ~8 ns per indexed row regardless of width, so
-    gathering 5 rows instead of ``nsample`` is a 4× cut on the loss's
-    dominant op.  The re-evaluated values are exact ``|p−q|²`` as in the
-    reference; only sub-round-off near-ties at the 5th-place boundary can
-    pick a different (equidistant) neighbor than ranking by exact values
-    would — the same selection-vs-value split the chamfer argmin uses.
+    TPU note: the ball path selects the 5 nearest hits *inside* the ball
+    kernel (``select_smallest=5`` — the kernel ranks its own
+    selection-grade distances, replacing an XLA sort) and only then
+    gathers those 5 winners' coordinates for the exact, differentiable
+    re-evaluation — the TPU gather costs ~8 ns per indexed row regardless
+    of width, so gathering 5 rows instead of ``nsample`` is a 4× cut on
+    the loss's dominant op.  The re-evaluated values are exact ``|p−q|²``
+    as in the reference; only sub-round-off near-ties at the 5th-place
+    boundary can pick a different (equidistant) neighbor than ranking by
+    exact values would — the same selection-vs-value split the chamfer
+    argmin uses.
     """
     if use_knn:
         idx = knn_indices(nsample, pred, pred)

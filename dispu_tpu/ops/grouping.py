@@ -61,6 +61,10 @@ def query_ball_point(
     VMEM-resident key tile (bit-identical outputs; the repulsion/uniform
     losses and the discriminator's SA grouping sit on this op every step).
     """
+    if select_smallest > nsample:
+        raise ValueError(
+            f"select_smallest={select_smallest} exceeds nsample={nsample}"
+        )
     xyz = jnp.asarray(xyz)
     new_xyz = jnp.asarray(new_xyz)
     use_pallas = impl == "pallas" or (

@@ -269,7 +269,7 @@ def knn_pallas(
 
 
 def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool,
-                      select_smallest: int = 0):
+                      select_smallest: int = 0, nsample_full: int = 0):
     """Fused ball query: distance tile + first-k-hits-in-index-order.
 
     Same VMEM-resident structure as the kNN kernel, but the selection
@@ -362,8 +362,14 @@ def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool,
             d0 = jnp.min(
                 jnp.where(lane_k == 0, dists, jnp.inf), axis=1, keepdims=True
             )
+            # pad positions — rounds that found no hit AND positions beyond
+            # the selection loop when n < nsample — carry the first hit's
+            # distance, exactly like the composed XLA path's padded row;
+            # only positions past the caller's nsample are excluded
             dfix = jnp.where(valid, dists, d0)
-            dfix = jnp.where(lane_k < nsample, dfix, jnp.inf)
+            dfix = jnp.where(
+                lane_k < (nsample_full or nsample), dfix, jnp.inf
+            )
             pad_idx = jnp.where(first_slot < n_actual, first_slot, 0)
             sel_pad = sel_ref.shape[-1]
             lane_s = jax.lax.broadcasted_iota(jnp.int32, (tm, sel_pad), 1)
@@ -475,8 +481,13 @@ def query_ball_pallas(
         ],
         out_specs=out_specs,
     )
+    if select_smallest > nsample:
+        raise ValueError(
+            f"select_smallest={select_smallest} exceeds nsample={nsample}"
+        )
     outs = pl.pallas_call(
-        _make_ball_kernel(min(nsample, n), n, with_dists, select_smallest),
+        _make_ball_kernel(min(nsample, n), n, with_dists, select_smallest,
+                          nsample_full=nsample),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,

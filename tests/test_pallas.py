@@ -162,6 +162,27 @@ class TestQueryBallPallas:
                 radius, 12, pts, q, interpret=True, select_smallest=5)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
+    def test_select_smallest_small_cloud(self, rng):
+        """n < nsample: pad positions must repeat the first hit's distance
+        (composed-path semantics), not fall out of the selection."""
+        from dispu_tpu.ops.grouping import query_ball_point
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        pts = jnp.asarray(rng.randn(2, 3, 3), np.float32)
+        q = jnp.asarray(rng.randn(2, 6, 3), np.float32)
+        _, _, want = query_ball_point(
+            100.0, 20, pts, q, impl="xla", select_smallest=5)
+        _, _, got = query_ball_pallas(
+            100.0, 20, pts, q, interpret=True, select_smallest=5)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_select_smallest_exceeding_nsample_raises(self, rng):
+        from dispu_tpu.ops.grouping import query_ball_point
+
+        pts = jnp.asarray(rng.randn(1, 30, 3), np.float32)
+        with pytest.raises(ValueError):
+            query_ball_point(0.5, 4, pts, pts, select_smallest=5)
+
     def test_select_smallest_with_dists_together(self, rng):
         from dispu_tpu.ops.pallas_kernels import query_ball_pallas
 
