@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """CLI entry: train / test the Dis-PU TPU framework.
 
-Parity: ref:dis-pu.py + ref:DisPU/configs.py — same phases and flag names
-(the architecture constants that the reference hard-coded in the model are
-exposed through the config dataclasses; flags here cover the ones the
-reference actually read).
+Parity: ref:dis-pu.py + ref:DisPU/configs.py — same phases and the full
+flag surface (ref:configs.py:9-44), including the flags the reference
+declares but never reads (`--more_up`, `--jitter`, `--start_decay_step`,
+`--lr_decay_steps`, `--gen_update`, and the declared loss weights — each
+marked in its help string).  The architecture constants the reference
+hard-coded in the model are exposed through the config dataclasses.
 
 Examples:
   python dispu.py --phase train --data_dir data --log_dir log
@@ -34,9 +36,15 @@ def parse_args():
     p.add_argument("--out_folder", default=None)
     p.add_argument("--augment", type=str2bool, default=True)
     p.add_argument("--restore", action="store_true")
+    p.add_argument("--more_up", type=int, default=0,
+                   help="declared by the reference, unused there and here")
     p.add_argument("--training_epoch", type=int, default=401)
     p.add_argument("--batch_size", type=int, default=28)
     p.add_argument("--random", type=str2bool, default=True)
+    p.add_argument("--jitter", type=str2bool, default=False,
+                   help="declared by the reference, unused there and here "
+                        "(jitter applies whenever --augment is on, "
+                        "ref:DisPU/dataset.py:132-134)")
     p.add_argument("--jitter_sigma", type=float, default=0.01)
     p.add_argument("--jitter_max", type=float, default=0.03)
     p.add_argument("--up_ratio", type=int, default=4)
@@ -48,13 +56,32 @@ def parse_args():
     p.add_argument("--beta", type=float, default=0.9)
     p.add_argument("--lr_decay", type=str2bool, default=True)
     p.add_argument("--decay_step", type=int, default=30)
+    p.add_argument("--start_decay_step", type=int, default=40,
+                   help="declared by the reference, unused there and here")
+    p.add_argument("--lr_decay_steps", type=int, default=40,
+                   help="declared by the reference, unused there and here")
     p.add_argument("--lr_decay_rate", type=float, default=0.7)
     p.add_argument("--lr_clip", type=float, default=1e-6)
     p.add_argument("--steps_per_print", type=int, default=50)
+    p.add_argument("--visulize", type=str2bool, default=False,
+                   help="periodic 3-view renders (the reference's spelling)")
+    p.add_argument("--steps_per_visu", type=int, default=100)
     p.add_argument("--epoch_per_save", type=int, default=20)
     p.add_argument("--use_repulse", type=str2bool, default=True)
     p.add_argument("--repulsion_w", type=float, default=1.0)
+    p.add_argument("--fidelity_w", type=float, default=100.0,
+                   help="declared by the reference, unused in its default loss")
+    p.add_argument("--uniform_w", type=float, default=10.0,
+                   help="declared by the reference, unused in its default loss")
+    p.add_argument("--gan_w", type=float, default=1.0,
+                   help="declared by the reference; its GAN loss adds the "
+                        "term unweighted (ref:DisPU/model_gan.py:108-112)")
+    p.add_argument("--gen_update", type=int, default=2,
+                   help="declared by the reference, unused there and here")
     p.add_argument("--use_gan", type=str2bool, default=False)
+    p.add_argument("--d_clip", type=float, default=0.01,
+                   help="critic weight clip (reference: 0.01, which "
+                        "collapses D — see PERFORMANCE.md; 0 disables)")
     p.add_argument("--patch_batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
@@ -81,7 +108,11 @@ def build_config(args):
             up_ratio=args.up_ratio, num_points=args.patch_num_point
         ),
         loss=LossConfig(
-            use_repulsion=args.use_repulse, repulsion_w=args.repulsion_w
+            use_repulsion=args.use_repulse,
+            repulsion_w=args.repulsion_w,
+            fidelity_w=args.fidelity_w,
+            uniform_w=args.uniform_w,
+            gan_w=args.gan_w,
         ),
         train=TrainConfig(
             batch_size=args.batch_size,
@@ -95,6 +126,10 @@ def build_config(args):
             lr_clip=args.lr_clip,
             epoch_per_save=args.epoch_per_save,
             steps_per_print=args.steps_per_print,
+            visualize=args.visulize,
+            steps_per_visu=args.steps_per_visu,
+            gen_update=args.gen_update,
+            d_clip=args.d_clip,
             seed=args.seed,
         ),
         data=DataConfig(

@@ -108,6 +108,13 @@ class TrainConfig:
     training_epoch: int = 401
     base_lr_g: float = 1e-3
     base_lr_d: float = 1e-4
+    # post-update critic weight clip (ref:DisPU/model_gan.py:222-224 clips
+    # to ±0.01).  The reference value strangles the 3-scale MSG critic —
+    # its outputs collapse to a constant by ~epoch 40 (see
+    # tests/test_gan.py::TestDiscriminatorHealth and PERFORMANCE.md's GAN
+    # section); 0 disables the clip (documented deviating config with a
+    # live adversarial signal).  Default keeps reference parity.
+    d_clip: float = 0.01
     beta1: float = 0.9
     lr_decay: bool = True
     decay_step_epochs: int = 30

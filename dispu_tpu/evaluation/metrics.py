@@ -4,10 +4,15 @@ Replaces ref:evaluate.py:34-102 (TF CD/HD graph + uniformity analysis) and
 the CGAL binary's P2F/disk machinery (ref:evaluation_code/evaluation.cpp).
 The P2F here is an exact brute-force point-to-triangle minimum over all
 faces — at these sizes (≤ ~100k points × ~50k faces, chunked) it is a few
-batched matmul-scale ops on TPU and needs no AABB tree; uniformity uses
-euclidean disks on the mesh-projected points (the reference's geodesic
-disks differ only on high-curvature meshes; the loss-side analog
-ref:Common/loss_utils.py:238 makes the same approximation).
+batched matmul-scale ops on TPU and needs no AABB tree.  Uniformity
+defaults to **geodesic** disks like the reference
+(``uniformity_measure(..., geodesic=True)``, the default in
+``evaluation.report``): on-surface distances via Dijkstra over the mesh
+edge graph with rhombus-unfolding shortcuts (see
+:func:`geodesic_distances_from_seed`).  ``geodesic=False`` selects the
+faster euclidean-disk approximation, which matches geodesic on low-
+curvature meshes only (the loss-side analog ref:Common/loss_utils.py:238
+uses euclidean disks always).
 """
 
 from __future__ import annotations

@@ -31,8 +31,11 @@ def _directed_min(a: jnp.ndarray, b: jnp.ndarray):
     # threshold-walk round over the VMEM-resident tile; the (n, m) matrix
     # never reaches HBM) — same expansion distances, same first-occurrence
     # tie-break, bit-identical indices to the XLA argmin.
+    # same lower bound as knn._use_pallas: below ~64 dataset points the
+    # kernel's per-grid-step launch overhead dominates and XLA's fused
+    # matmul+argmin wins (tiny-cloud chamfer calls, e.g. tests/metrics)
     if (jax.default_backend() not in ("cpu", "gpu")
-            and a.ndim == 3 and b.shape[-2] <= 4096):
+            and a.ndim == 3 and 64 <= b.shape[-2] <= 4096):
         from dispu_tpu.ops.pallas_kernels import knn_pallas
 
         _, idx = knn_pallas(1, jax.lax.stop_gradient(b),

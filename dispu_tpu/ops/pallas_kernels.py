@@ -171,6 +171,13 @@ def _make_knn_kernel(k: int):
         # rewritten, saving a full (tm, n) VMEM write + re-read per round
         # versus the classic mask-out-and-rescan loop.  Identical selection
         # sequence, ties and all.
+        #
+        # INVARIANT (load-bearing): every entry of d must be FINITE.  The
+        # walk advances past an equal value via the lane order; duplicated
+        # +inf entries would instead re-select the same lane (inf == inf
+        # but the lexicographic step only fires on equality with the
+        # carried value, which min() saturates at inf).  Padded columns
+        # therefore use a finite 1e30 bias, never inf — keep it that way.
         def body(j, carry):
             mv, sel = carry  # (tm, 1) f32, (tm, 1) int32
             later = (d > mv) | ((d == mv) & (lane > sel))

@@ -50,6 +50,41 @@ class TestCLI:
         assert cfg.generator.num_points == 64
         assert cfg.data.h5_path.endswith("PUGAN_poisson_64_poisson_256.h5")
 
+    def test_reference_flag_surface(self, monkeypatch):
+        """Every flag the reference declares (ref:DisPU/configs.py:9-44)
+        parses here, and the ones with live config destinations land."""
+        import dispu
+
+        ref_flags = {
+            "--phase": "train", "--log_dir": "log", "--data_dir": "data",
+            "--augment": "true", "--more_up": "0",
+            "--training_epoch": "401", "--batch_size": "28",
+            "--random": "true", "--jitter": "false",
+            "--jitter_sigma": "0.01", "--jitter_max": "0.03",
+            "--up_ratio": "4", "--final_ratio": "4",
+            "--patch_num_point": "256", "--patch_num_ratio": "3",
+            "--base_lr_d": "0.0001", "--base_lr_g": "0.001",
+            "--beta": "0.9", "--lr_decay": "true", "--decay_step": "30",
+            "--start_decay_step": "40", "--lr_decay_steps": "40",
+            "--lr_decay_rate": "0.7", "--lr_clip": "1e-6",
+            "--steps_per_print": "50", "--visulize": "true",
+            "--steps_per_visu": "7", "--epoch_per_save": "20",
+            "--use_repulse": "true", "--repulsion_w": "1.0",
+            "--fidelity_w": "55.0", "--uniform_w": "11.0",
+            "--gan_w": "2.5", "--gen_update": "2",
+        }
+        argv = ["dispu.py"]
+        for name, val in ref_flags.items():
+            argv += [name, val]
+        monkeypatch.setattr(sys, "argv", argv)
+        args = dispu.parse_args()  # unknown flag would SystemExit here
+        cfg = dispu.build_config(args)
+        assert cfg.train.visualize is True
+        assert cfg.train.steps_per_visu == 7
+        assert cfg.loss.fidelity_w == 55.0
+        assert cfg.loss.uniform_w == 11.0
+        assert cfg.loss.gan_w == 2.5
+
     def test_phase_test_end_to_end(self, monkeypatch, tmp_path, rng):
         """Restore a checkpoint and upsample a glob of xyz files via the CLI
         path (parity with ref --phase test)."""

@@ -8,7 +8,7 @@ from dispu_tpu import losses as L
 from dispu_tpu.config import LossConfig
 
 
-def np_repulsion(pred, nsample=20, radius=0.07, h=0.001):
+def np_repulsion(pred, nsample=20, radius=0.07, h=0.001, use_l1=False):
     """Oracle mirroring ref:Common/loss_utils.py:271-298 semantics."""
     b, n, _ = pred.shape
     vals = []
@@ -27,10 +27,14 @@ def np_repulsion(pred, nsample=20, radius=0.07, h=0.001):
                     idx[j, c] = k
                     c += 1
         grouped = pred[i][idx] - pred[i][:, None, :]
-        dists = np.sum(grouped**2, axis=-1)
+        if use_l1:
+            dists = np.sum(np.abs(grouped), axis=-1)
+        else:
+            dists = np.sum(grouped**2, axis=-1)
         top = np.sort(dists, axis=-1)[:, :5]  # 5 smallest
         val = -top[:, 1:]
-        vals.append(np.maximum(0.0, h + val))
+        hh = np.sqrt(h) * 2 if use_l1 else h
+        vals.append(np.maximum(0.0, hh + val))
     return float(np.mean(np.stack(vals)))
 
 
@@ -66,6 +70,91 @@ class TestRepulsion:
         got = float(L.repulsion(jnp.asarray(pred)))
         want = np_repulsion(pred)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_use_l1_matches_oracle(self, rng):
+        """Parity of the L1 branch (ref:Common/loss_utils.py:283-293 —
+        L1 neighbor distances, h = 2·√h)."""
+        pred = rng.rand(2, 64, 3).astype(np.float32) * 0.3
+        got = float(L.repulsion(jnp.asarray(pred), use_l1=True))
+        want = np_repulsion(pred, use_l1=True)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # and the L1 knn branch runs
+        got_knn = float(
+            L.repulsion(jnp.asarray(pred), use_knn=True, use_l1=True)
+        )
+        assert np.isfinite(got_knn)
+
+    def test_repulsion_tie_boundary(self):
+        """Exact distance ties at the 5th-place selection boundary: the
+        ball path (in-kernel ranking by selection-grade expansion-form
+        distances) must produce the same LOSS as the pure exact-ranked
+        composition, whichever equidistant neighbor it picks.
+
+        Coordinates are dyadic (s = 2^-6) so squares/sums are exact in
+        f32 and the expansion form |q|²−2q·p+|p|² equals the direct form
+        bit-for-bit — the ties are EXACT, the adversarial case for the
+        selection-vs-value split documented in losses.repulsion.
+        """
+        from dispu_tpu.ops.grouping import group_point, query_ball_point
+        from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+        s = 1.0 / 64.0
+        pts = [[0.0, 0.0, 0.0]]
+        for axis in range(3):          # 6 neighbors tied at d² = s²
+            for sign in (1.0, -1.0):
+                p = [0.0, 0.0, 0.0]
+                p[axis] = sign * s
+                pts.append(p)
+        for axis in range(3):          # 6 more tied at d² = 4s²
+            for sign in (1.0, -1.0):
+                p = [0.0, 0.0, 0.0]
+                p[axis] = sign * 2 * s
+                pts.append(p)
+        pred = jnp.asarray([pts], jnp.float32)  # (1, 13, 3)
+        nsample, radius, h = 20, 0.07, 0.001
+
+        # exact-ranked oracle: all ball hits → exact distances → top-5
+        idx, _ = query_ball_point(radius, nsample, pred, pred)
+        grouped = group_point(pred, idx) - pred[:, :, None, :]
+        d_exact = jnp.sum(grouped**2, axis=-1)
+        neg, _ = jax.lax.top_k(-d_exact, 5)
+        oracle = float(jnp.mean(jnp.maximum(0.0, h + neg[:, :, 1:])))
+
+        # production ball path (XLA fallback of select_smallest on CPU)
+        got = float(L.repulsion(pred, nsample=nsample, radius=radius, h=h))
+        np.testing.assert_allclose(got, oracle, atol=0.0)
+
+        # the Pallas kernel's in-kernel top-5 on the same tie-heavy input
+        # (interpret mode — on-chip bit-parity is asserted by
+        # bench.parity_guard every bench session)
+        _, _, idx5 = query_ball_pallas(
+            radius, nsample, pred, pred, interpret=True, select_smallest=5
+        )
+        g5 = group_point(pred, idx5) - pred[:, :, None, :]
+        d5 = jnp.sum(g5**2, axis=-1)
+        got_pallas = float(jnp.mean(jnp.maximum(0.0, h - d5[:, :, 1:])))
+        np.testing.assert_allclose(got_pallas, oracle, atol=0.0)
+
+    def test_repulsion_near_tie_bound(self, rng):
+        """Sub-round-off near-ties (1e-8 perturbations of duplicated
+        neighbors): selection may legitimately differ between the
+        selection-grade and exact rankings, but the loss deviation is
+        bounded by the perturbation scale."""
+        base = rng.rand(1, 48, 3).astype(np.float64) * 0.05
+        # clone 8 points with 1e-8 jitter → near-exact ties everywhere
+        base[0, 24:32] = base[0, :8] + 1e-8
+        pred = jnp.asarray(base, jnp.float32)
+        nsample, radius, h = 20, 0.07, 0.001
+
+        from dispu_tpu.ops.grouping import group_point, query_ball_point
+
+        idx, _ = query_ball_point(radius, nsample, pred, pred)
+        grouped = group_point(pred, idx) - pred[:, :, None, :]
+        d_exact = jnp.sum(grouped**2, axis=-1)
+        neg, _ = jax.lax.top_k(-d_exact, 5)
+        oracle = float(jnp.mean(jnp.maximum(0.0, h + neg[:, :, 1:])))
+        got = float(L.repulsion(pred, nsample=nsample, radius=radius, h=h))
+        assert abs(got - oracle) < 1e-7, (got, oracle)
 
     def test_negligible_when_spread(self):
         # points farther apart than sqrt(h) ≈ 0.0316 incur (almost) no

@@ -199,3 +199,141 @@ def test_h5_dataset_branch(tmp_path):
     ds2 = PatchDataset(num_point=256, up_ratio=4, h5_path=path,
                        random_input=False)
     assert ds2.inputs.shape == (6, 256, 3)
+
+
+class TestNonRandomInput:
+    """--random false must feed the curated h5 sparse column, not
+    gt[:, :n_in] (ref:DisPU/dataset.py:120-130; round-2 VERDICT missing #2).
+    """
+
+    N_IN, N_OUT, B = 32, 128, 8
+
+    def _write_h5(self, tmp_path):
+        import h5py
+
+        rng = np.random.RandomState(1)
+        dense = (rng.randn(self.B, self.N_OUT, 3) * 1.5).astype(np.float32)
+        # sparse column deliberately distinct from dense[:, :N_IN]
+        sparse = (rng.randn(self.B, self.N_IN, 3) * 1.5).astype(np.float32)
+        path = str(
+            tmp_path / ("PUGAN_poisson_%d_poisson_%d.h5" % (self.N_IN, self.N_OUT))
+        )
+        with h5py.File(path, "w") as f:
+            f["poisson_%d" % self.N_OUT] = dense
+            f["poisson_%d" % self.N_IN] = sparse
+        return path
+
+    def _cfg(self, tmp_path, device_data=True):
+        return ExperimentConfig(
+            generator=TINY_GEN,
+            train=dataclasses.replace(
+                TrainConfig(batch_size=self.B),
+                device_data=device_data,
+                backup_sources=False,
+            ),
+            data=DataConfig(
+                data_dir=str(tmp_path), num_point=self.N_IN,
+                random_input=False, augment=False,
+            ),
+            loss=LossConfig(repulsion_nsample=8),
+            log_dir=str(tmp_path / "log"),
+        )
+
+    def test_batches_yield_the_input_column(self, tmp_path):
+        from dispu_tpu.train.trainer import Trainer
+
+        self._write_h5(tmp_path)
+        for device_data in (True, False):
+            cfg = self._cfg(tmp_path, device_data=device_data)
+            tr = Trainer(cfg, use_mesh=False)
+            gt, inputs, radius = next(iter(tr._batches(self.B)))
+            assert inputs is not None, "non-random mode must ship inputs"
+            assert inputs.shape == (self.B, self.N_IN, 3)
+            # the yielded batch rows are exactly rows of the dataset column
+            ds_inputs = tr.dataset.inputs
+            got = np.asarray(inputs)
+            for row in got:
+                assert any(
+                    np.allclose(row, ds_inputs[i]) for i in range(self.B)
+                )
+            # and NOT slices of gt (the round-2 defect)
+            gt_np = np.asarray(gt)
+            assert not np.allclose(got, gt_np[:, : self.N_IN])
+
+    def test_step_consumes_the_column_exactly(self, tmp_path):
+        """metrics from the 5-arg step == a manual forward+loss on the h5
+        column (exact), and != the old gt[:, :n_in] substitution."""
+        from dispu_tpu import losses as L
+        from dispu_tpu.models.generator import DisPUGenerator
+
+        self._write_h5(tmp_path)
+        cfg = self._cfg(tmp_path)
+        ds = PatchDataset(
+            data_dir=str(tmp_path), num_point=self.N_IN, up_ratio=4,
+            random_input=False,
+        )
+        state = create_generator_state(
+            jax.random.PRNGKey(0), cfg.generator, cfg.train
+        )
+        step = make_train_step(cfg, donate=False)
+        gt = jnp.asarray(ds.gt)
+        inputs = jnp.asarray(ds.inputs)
+        radius = jnp.asarray(ds.radius)
+        _, metrics = step(state, gt, inputs, radius, jax.random.PRNGKey(5))
+
+        model = DisPUGenerator(cfg=cfg.generator)
+        weight_fine = L.weight_fine_schedule(
+            state.epoch,
+            cfg.loss.weight_fine_boundaries,
+            cfg.loss.weight_fine_values,
+        )
+
+        def manual_total(x):
+            (coarse, fine), _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                x, train=True, mutable=["batch_stats"],
+            )
+            total, _ = L.pu_losses(
+                coarse, fine, gt, radius, weight_fine, cfg.loss
+            )
+            return float(total)
+
+        got = float(metrics["total"])
+        np.testing.assert_allclose(got, manual_total(inputs), rtol=1e-6)
+        wrong = manual_total(gt[:, : self.N_IN])
+        assert abs(got - wrong) > 1e-6, (
+            "step is still training on gt[:, :n_in]"
+        )
+
+    def test_trainer_loop_runs_non_random(self, tmp_path):
+        from dispu_tpu.train.trainer import Trainer
+
+        self._write_h5(tmp_path)
+        cfg = self._cfg(tmp_path)
+        tr = Trainer(cfg, use_mesh=False)
+        state = tr.train(epochs=1)
+        assert int(jax.device_get(state.step)) == 1
+
+    def test_gan_step_non_random(self, tmp_path):
+        from dispu_tpu.train.gan_steps import (
+            create_gan_state,
+            make_gan_train_step,
+        )
+
+        self._write_h5(tmp_path)
+        cfg = dataclasses.replace(self._cfg(tmp_path), use_gan=True)
+        ds = PatchDataset(
+            data_dir=str(tmp_path), num_point=self.N_IN, up_ratio=4,
+            random_input=False,
+        )
+        state = create_gan_state(jax.random.PRNGKey(0), cfg)
+        step = make_gan_train_step(cfg, donate=False)
+        new_state, metrics = step(
+            state,
+            jnp.asarray(ds.gt),
+            jnp.asarray(ds.inputs),
+            jnp.asarray(ds.radius),
+            jax.random.PRNGKey(7),
+        )
+        assert np.isfinite(float(metrics["total"]))
+        assert np.isfinite(float(metrics["d_gap"]))
