@@ -17,9 +17,22 @@ Parity: ref:DisPU/model_gan.py —
     only the parameters are clipped;
   * per batch: D step, then G step (ref:model_gan.py:299-309).
 
-The whole D-then-G sequence is one jitted function: the generator forward
-used by the D step is shared with the G step's gradient computation through
-XLA CSE where possible, and no host round-trips occur between the updates.
+The whole D-then-G sequence is one jitted function with no host
+round-trips between the updates; the generator runs its forward exactly
+ONCE per step — the primal feeds the D update (gradient stopped) and its
+``jax.vjp`` closes the G update's chain rule (round 2 relied on XLA CSE
+to merge two structurally separate forwards; profiled on chip, CSE did
+not fire and the step carried a full extra forward).
+
+Critic-health metrics are part of the step contract: ``d_gap``
+(mean D(real) − mean D(fake)), ``d_var`` (output variance), and
+``d_clip_frac`` (fraction of critic weights at the clip boundary).  The
+reference's ±0.01 clip drives ``d_clip_frac → 1.0`` and the critic to a
+constant output (measured on the round-2 150-epoch demo checkpoint:
+100.0% of weights saturated, D(real) ≈ D(fake) ≈ 0.0226, var ~1e-8 —
+the ±0.01 WGAN-style clip is structurally incompatible with LSGAN's 0/1
+targets).  ``TrainConfig.d_clip = 0`` is the documented deviating config
+with a live adversarial signal; the default keeps reference parity.
 """
 
 from __future__ import annotations
@@ -110,11 +123,33 @@ def make_gan_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
         )
         lr_d = cfg.train.base_lr_d  # constant — see module docstring
 
-        # ---------------- D step (generator frozen) ----------------------
-        (coarse0, fine0), _ = gen_model.apply(
-            gen.variables(), inputs, train=True, mutable=["batch_stats"]
+        # ---------------- shared generator forward ------------------------
+        # ONE generator forward serves both updates: its primal output
+        # feeds the D step (gradient stopped) and its vjp closes the G
+        # step's chain rule.  The previous structure ran a standalone
+        # forward for D and hoped XLA CSE would merge it with the G
+        # gradient's primal — measured on chip, it did not (the GAN step
+        # carried a full extra forward; see PERFORMANCE.md).  This also
+        # keeps the single forward's batch_stats instead of computing and
+        # discarding a second set.
+        def gen_fwd(params):
+            (coarse, fine), updates = gen_model.apply(
+                {"params": params, "batch_stats": gen.batch_stats},
+                inputs,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return (coarse, fine), updates["batch_stats"]
+
+        if cfg.train.remat:
+            # same knob as the CD step: recompute the generator forward in
+            # the backward instead of keeping neighborhood activations live
+            gen_fwd = jax.checkpoint(gen_fwd)
+
+        (coarse, fine), gen_vjp, new_stats = jax.vjp(
+            gen_fwd, gen.params, has_aux=True
         )
-        fine0 = jax.lax.stop_gradient(fine0)
+        fine0 = jax.lax.stop_gradient(fine)
 
         def d_loss_fn(d_params):
             values = disc_model.apply({"params": d_params}, fine0, gt_aug)
@@ -158,21 +193,14 @@ def make_gan_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
             d_clip_frac = jnp.zeros((), jnp.float32)
 
         # ---------------- G step (critic frozen) --------------------------
-        def gen_fwd(params, inputs):
-            return gen_model.apply(
-                {"params": params, "batch_stats": gen.batch_stats},
-                inputs,
-                train=True,
-                mutable=["batch_stats"],
-            )
-
-        if cfg.train.remat:
-            # same knob as the CD step: recompute the generator forward in
-            # the backward instead of keeping neighborhood activations live
-            gen_fwd = jax.checkpoint(gen_fwd)
-
-        def g_loss_fn(params):
-            (coarse, fine), updates = gen_fwd(params, inputs)
+        # loss as a function of the generator OUTPUTS; the parameter
+        # gradient is the output cotangent pulled back through the shared
+        # forward's vjp (identical math to differentiating the composition,
+        # pinned by tests/test_gan.py::test_shared_forward_grads).
+        # Parity: the reference runs the D update first, then the G update
+        # against the UPDATED critic (ref:DisPU/model_gan.py:299-309) —
+        # hence d_params (post-update) below.
+        def g_loss_from_outputs(coarse, fine):
             pu_total, metrics = L.pu_losses(
                 coarse, fine, gt_aug, radius, weight_fine, cfg.loss
             )
@@ -181,11 +209,12 @@ def make_gan_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
             g_gan = L.generator_loss(fake)
             total = pu_total + g_gan
             metrics = dict(metrics, g_gan=g_gan, uniform=10.0 * L.uniform(fine))
-            return total, (metrics, updates["batch_stats"])
+            return total, metrics
 
-        (g_total, (metrics, new_stats)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(gen.params)
+        (g_total, metrics), out_grads = jax.value_and_grad(
+            g_loss_from_outputs, argnums=(0, 1), has_aux=True
+        )(coarse, fine)
+        (g_grads,) = gen_vjp(out_grads)
         g_updates, g_opt_state = tx.update(g_grads, gen.opt_state, gen.params)
         g_params = jax.tree_util.tree_map(
             lambda p, u: p - lr_g * u, gen.params, g_updates
