@@ -34,6 +34,7 @@ def parity_guard():
     from dispu_tpu.ops.grouping import group_point, query_ball_point
     from dispu_tpu.ops.knn import knn
     from dispu_tpu.ops.pallas_kernels import (
+        fps_bucketed_pallas,
         fps_pallas,
         knn_pallas,
         query_ball_pallas,
@@ -54,6 +55,13 @@ def parity_guard():
     f_x = jax.jit(lambda p: _fps_xla(256, p))(pts)
     f_p = jax.jit(lambda p: fps_pallas(256, p))(pts)
     fps_ok = bool(jnp.array_equal(f_x, f_p))
+
+    # bucketed FPS: every bucket row's selection bit-equal to the XLA
+    # loop on that bucket (the merge turbo mode's kernel)
+    bks = jnp.asarray(rng.randn(16, 256, 3), jnp.float32)
+    bf_x = jax.jit(lambda p: _fps_xla(32, p))(bks)
+    bf_p = jax.jit(lambda p: fps_bucketed_pallas(32, p))(bks)
+    bfps_ok = bool(jnp.array_equal(bf_x, bf_p))
 
     # one-hot MXU gather at HIGHEST precision vs native gather (bit-equal
     # values) at the refiner's neighborhood scale
@@ -79,11 +87,12 @@ def parity_guard():
     )
 
     print(
-        "parity knn_pallas=%s fps_pallas=%s onehot_hp_gather=%s ball_query=%s"
+        "parity knn_pallas=%s fps_pallas=%s fps_bucketed=%s "
+        "onehot_hp_gather=%s ball_query=%s"
         % tuple("ok" if b else "MISMATCH"
-                for b in (knn_ok, fps_ok, hp_ok, ball_ok))
+                for b in (knn_ok, fps_ok, bfps_ok, hp_ok, ball_ok))
     )
-    assert knn_ok and fps_ok and hp_ok and ball_ok, \
+    assert knn_ok and fps_ok and bfps_ok and hp_ok and ball_ok, \
         "on-chip kernel parity failed"
 
 

@@ -108,6 +108,13 @@ class TrainConfig:
     training_epoch: int = 401
     base_lr_g: float = 1e-3
     base_lr_d: float = 1e-4
+    # post-update critic weight clip (ref:DisPU/model_gan.py:222-224 clips
+    # to ±0.01).  The reference value strangles the 3-scale MSG critic —
+    # its outputs collapse to a constant by ~epoch 40 (see
+    # tests/test_gan.py::TestDiscriminatorHealth and PERFORMANCE.md's GAN
+    # section); 0 disables the clip (documented deviating config with a
+    # live adversarial signal).  Default keeps reference parity.
+    d_clip: float = 0.01
     beta1: float = 0.9
     lr_decay: bool = True
     decay_step_epochs: int = 30
@@ -124,6 +131,10 @@ class TrainConfig:
     # TPU-specific
     donate_state: bool = True
     compute_dtype: str = "float32"  # or "bfloat16" for the NN compute path
+    # rematerialize the generator forward in the backward pass — trades
+    # recompute FLOPs for activation HBM; only worth switching on when a
+    # large batch spills (b=28 measures slower with it)
+    remat: bool = False
     # keep the whole patch set resident in HBM and ship only batch indices
     # per step (the PU-GAN set is ~100 MB; per-step host uploads otherwise
     # serialize the loop, badly so through a remote-dispatch tunnel)
@@ -166,6 +177,14 @@ class InferenceConfig:
     patch_num_point: int = 256
     patch_num_ratio: int = 3     # seeds = N / patch_size * ratio
     patch_batch: int = 32        # patches evaluated per device step (TPU win)
+    # final-merge FPS (ref:DisPU/model.py:375-376): 'exact' (default —
+    # reference semantics, m sequential rounds) or 'bucketed' — Morton-
+    # partitioned parallel FPS (ops.sampling.farthest_point_sample_bucketed):
+    # ~n_buckets× less work and sequential depth, exact FPS within each
+    # bucket but equal-count allocation across buckets (documented
+    # approximation; quality deltas measured in PERFORMANCE.md)
+    merge_fps: str = "exact"
+    merge_fps_buckets: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -4,10 +4,15 @@ Replaces ref:evaluate.py:34-102 (TF CD/HD graph + uniformity analysis) and
 the CGAL binary's P2F/disk machinery (ref:evaluation_code/evaluation.cpp).
 The P2F here is an exact brute-force point-to-triangle minimum over all
 faces — at these sizes (≤ ~100k points × ~50k faces, chunked) it is a few
-batched matmul-scale ops on TPU and needs no AABB tree; uniformity uses
-euclidean disks on the mesh-projected points (the reference's geodesic
-disks differ only on high-curvature meshes; the loss-side analog
-ref:Common/loss_utils.py:238 makes the same approximation).
+batched matmul-scale ops on TPU and needs no AABB tree.  Uniformity
+defaults to **geodesic** disks like the reference
+(``uniformity_measure(..., geodesic=True)``, the default in
+``evaluation.report``): on-surface distances via Dijkstra over the mesh
+edge graph with rhombus-unfolding shortcuts (see
+:func:`geodesic_distances_from_seed`).  ``geodesic=False`` selects the
+faster euclidean-disk approximation, which matches geodesic on low-
+curvature meshes only (the loss-side analog ref:Common/loss_utils.py:238
+uses euclidean disks always).
 """
 
 from __future__ import annotations
@@ -282,18 +287,25 @@ def geodesic_distances(
     d_exit = np.min(dv[:, pv] + tail[None], axis=2)
     d = np.minimum(d_interp, d_exit)
 
-    # --- (4) near-field: same-face pairs use the exact euclidean
-    # (= geodesic on a plane); within a couple of edge lengths the surface
-    # is locally flat at the mesh's own resolution, so euclidean is the
-    # better estimate than any vertex-routed path (which carries an
-    # O(edge) additive error there).  Geometry folded tighter than ~2 edge
-    # lengths is under-resolved by the mesh itself.
+    # --- (4) near-field: same-face / shared-vertex pairs use the exact
+    # euclidean (= geodesic on a plane); within a couple of edge lengths
+    # the surface is locally flat at the mesh's own resolution, so
+    # euclidean is the better estimate than any vertex-routed path (which
+    # carries an O(edge) additive error there).  The euclidean override
+    # for non-adjacent pairs is gated on the graph estimate CONFIRMING
+    # on-surface proximity (d < direct + 2·median-edge): on thin folded
+    # geometry two sheets can sit closer through space than 2 edge lengths
+    # while being far apart on-surface — there the graph distance stays
+    # large and the override must not fire (the through-space shortcut
+    # would report ~gap instead of the around-the-fold geodesic; pinned by
+    # tests/test_geodesic.py::test_folded_sheet_no_shortcut).
     direct = np.linalg.norm(seeds[:, None, :] - points[None, :, :], axis=2)
     near = np.asarray(seed_faces)[:, None] == np.asarray(point_faces)[None]
     for i in range(3):
         sv_i = sv[:, i][:, None, None]                 # (ns, 1, 1)
         near |= np.any(pv[None] == sv_i, axis=2)
-    near |= direct < 2.0 * float(np.median(w))
+    med = 2.0 * float(np.median(w))
+    near |= (direct < med) & (d < direct + med)
     return np.where(near, direct, d).astype(np.float32)
 
 

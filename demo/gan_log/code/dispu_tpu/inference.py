@@ -51,6 +51,13 @@ class PatchUpsampler:
             self._prepare_impl, static_argnames=("seed_num",)
         )
         self._merge = jax.jit(self._merge_impl, static_argnames=("out_num",))
+        # single-device path: the whole pipeline in ONE jit — each separate
+        # dispatch costs ~1.6 ms through a remote-dispatch tunnel, and the
+        # stage-by-stage flow pays 5+ of them per cloud
+        self._pipeline = jax.jit(
+            self._pipeline_impl,
+            static_argnames=("seed_num", "out_num", "bs"),
+        )
 
     # ---------------------------------------------------------------- stages
 
@@ -72,8 +79,34 @@ class PatchUpsampler:
         return pred
 
     def _merge_impl(self, all_points: jnp.ndarray, out_num: int):
+        if (
+            self.inf_cfg.merge_fps == "bucketed"
+            and out_num >= self.inf_cfg.merge_fps_buckets
+        ):
+            from dispu_tpu.ops.sampling import farthest_point_sample_bucketed
+
+            idx = farthest_point_sample_bucketed(
+                out_num, all_points, n_buckets=self.inf_cfg.merge_fps_buckets
+            )
+            return all_points[idx]
         idx = farthest_point_sample(out_num, all_points[None])[0]
         return all_points[idx]
+
+    def _pipeline_impl(self, pc_n, seed_num: int, out_num: int, bs: int):
+        """prepare → chunked generator (lax.map) → un-normalize → merge,
+        fused into one XLA program (single-device path)."""
+        patches, p_centroid, p_furthest = self._prepare_impl(pc_n, seed_num)
+        pad = (-seed_num) % bs
+        if pad:
+            filler = jnp.broadcast_to(
+                patches[:1], (pad,) + patches.shape[1:]
+            )
+            patches = jnp.concatenate([patches, filler], axis=0)
+        chunks = patches.reshape(-1, bs, *patches.shape[1:])
+        preds = jax.lax.map(self._upsample_batch_impl, chunks)
+        pred = preds.reshape(-1, *preds.shape[2:])[:seed_num]
+        pred = pred * p_furthest + p_centroid
+        return self._merge_impl(pred.reshape(-1, 3), out_num)
 
     # ------------------------------------------------------------------- API
 
@@ -88,15 +121,24 @@ class PatchUpsampler:
         seed_num = int(n / inf.patch_num_point * inf.patch_num_ratio)
         seed_num = max(seed_num, 1)
 
+        if self.mesh is None:
+            out = self._pipeline(
+                pc_n, seed_num=seed_num, out_num=out_num,
+                bs=inf.patch_batch,
+            )
+            out = out * furthest[0] + centroid[0]
+            return np.asarray(out)
+
+        # mesh path: patch-parallel across devices, staged (patch shards
+        # cross devices between the stages, so the pipeline stays split)
+        from dispu_tpu.parallel.mesh import shard_batch
+
         patches, p_centroid, p_furthest = self._prepare(pc_n, seed_num)
 
-        # pad to a multiple of the device batch for static shapes
-        bs = inf.patch_batch
-        if self.mesh is not None:
-            # patch-parallel across the mesh: each device upsamples its
-            # shard of the patch batch (SURVEY §2.3's eval sharding)
-            n_dev = self.mesh.devices.size
-            bs = ((bs + n_dev - 1) // n_dev) * n_dev
+        # pad the patch batch to a multiple of the device count so every
+        # shard has static shape (SURVEY §2.3's eval sharding)
+        n_dev = self.mesh.devices.size
+        bs = ((inf.patch_batch + n_dev - 1) // n_dev) * n_dev
         pad = (-seed_num) % bs
         if pad:
             # pad may exceed seed_num (small clouds / large patch_batch):
@@ -107,15 +149,10 @@ class PatchUpsampler:
             patches = jnp.concatenate([patches, filler], axis=0)
         preds = []
         for i in range(patches.shape[0] // bs):
-            chunk = patches[i * bs : (i + 1) * bs]
-            if self.mesh is not None:
-                from dispu_tpu.parallel.mesh import shard_batch
-
-                chunk = shard_batch(self.mesh, chunk)
+            chunk = shard_batch(self.mesh, patches[i * bs : (i + 1) * bs])
             preds.append(self._upsample_batch(chunk))
         pred = jnp.concatenate(
-            [jax.device_get(p) if self.mesh is not None else p for p in preds],
-            axis=0,
+            [jax.device_get(p) for p in preds], axis=0
         )[:seed_num]
         pred = jnp.asarray(pred)
 

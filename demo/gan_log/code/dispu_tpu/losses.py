@@ -80,40 +80,58 @@ def repulsion(
     nsample: int = 20,
     radius: float = 0.07,
     use_knn: bool = False,
+    use_l1: bool = False,
     h: float = 0.001,
 ) -> jnp.ndarray:
     """Push points apart when closer than ``sqrt(h)``.
 
     Parity: ref:Common/loss_utils.py:271-298 — ball-query ``nsample``
     neighbors (padding repeats the first hit, exactly as the CUDA op), take
-    the 5 nearest, drop the self column, penalize ``max(0, h − d²)``.
+    the 5 nearest, drop the self column, penalize ``max(0, h − d²)``.  With
+    ``use_l1`` the neighbor distances are L1 (``Σ|Δ|``) and the bandwidth
+    becomes ``h = 2·√h`` (ref:Common/loss_utils.py:283-293).
 
-    TPU note: the ball path ranks neighbors by the query's own
-    selection-grade distances (``return_dists``) and only then gathers the
-    5 winners' coordinates for the exact, differentiable re-evaluation —
-    the TPU gather costs ~8 ns per indexed row regardless of width, so
-    gathering 5 rows instead of ``nsample`` is a 4× cut on the loss's
-    dominant op.  The re-evaluated values are exact ``|p−q|²`` as in the
-    reference; only sub-round-off near-ties at the 5th-place boundary can
-    pick a different (equidistant) neighbor than ranking by exact values
-    would — the same selection-vs-value split the chamfer argmin uses.
+    TPU note: the L2 ball path selects the 5 nearest hits *inside* the
+    ball kernel (``select_smallest=5`` — the kernel ranks its own
+    selection-grade distances, replacing an XLA sort) and only then
+    gathers those 5 winners' coordinates for the exact, differentiable
+    re-evaluation — the TPU gather costs ~8 ns per indexed row regardless
+    of width, so gathering 5 rows instead of ``nsample`` is a 4× cut on
+    the loss's dominant op.  The re-evaluated values are exact ``|p−q|²``
+    as in the reference; only sub-round-off near-ties at the 5th-place
+    boundary can pick a different (equidistant) neighbor than ranking by
+    exact values would — the same selection-vs-value split the chamfer
+    argmin uses (tie behavior pinned by
+    tests/test_losses.py::test_repulsion_tie_boundary).  The L1 path
+    cannot reuse the kernel's L2 ranking, so it gathers all ``nsample``
+    neighbors and ranks by exact L1 distance like the reference.
     """
     if use_knn:
         idx = knn_indices(nsample, pred, pred)
         grouped = group_point(pred, idx) - pred[:, :, None, :]
-        dists = jnp.sum(grouped**2, axis=-1)
+        dists = (
+            jnp.sum(jnp.abs(grouped), axis=-1)
+            if use_l1
+            else jnp.sum(grouped**2, axis=-1)
+        )
         neg_top, _ = jax.lax.top_k(-dists, 5)
         val = neg_top[:, :, 1:]  # drop the nearest (self)
+    elif use_l1:
+        idx, _ = query_ball_point(radius, nsample, pred, pred)
+        grouped = group_point(pred, idx) - pred[:, :, None, :]
+        dists = jnp.sum(jnp.abs(grouped), axis=-1)
+        neg_top, _ = jax.lax.top_k(-dists, 5)
+        val = neg_top[:, :, 1:]
     else:
-        idx, _, d_sel = query_ball_point(
-            radius, nsample, pred, pred, return_dists=True
+        _, _, idx5 = query_ball_point(
+            radius, nsample, pred, pred, select_smallest=5
         )
-        _, sub = jax.lax.top_k(-d_sel, 5)              # (b, m, 5)
-        idx5 = jnp.take_along_axis(idx, sub, axis=-1)
         grouped = group_point(pred, idx5) - pred[:, :, None, :]
         dists5 = jnp.sum(grouped**2, axis=-1)          # exact, differentiable
         val = -dists5[:, :, 1:]  # drop the nearest (self)
-    val = jnp.maximum(0.0, h + val)  # h - d^2, clipped
+    if use_l1:
+        h = math.sqrt(h) * 2  # ref:Common/loss_utils.py:292
+    val = jnp.maximum(0.0, h + val)  # h - d (sq or L1), clipped
     return jnp.mean(val)
 
 

@@ -61,6 +61,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.dispu_render_points.argtypes = [
         f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
     ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.dispu_render_ball.argtypes = [
+        ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int, i32p,
+        f32p, f32p, f32p, ctypes.c_int,
+    ]
     lib.dispu_point_to_mesh.argtypes = [
         f32p, ctypes.c_int, f32p, ctypes.c_int, i32p, ctypes.c_int, f32p, f32p,
     ]
@@ -134,6 +139,42 @@ def render_points(points: np.ndarray, size: int = 500, radius: int = 5):
     points = _f32(points)
     img = np.empty((size, size), np.float32)
     lib.dispu_render_points(_ptr(points), len(points), size, radius, _ptr(img))
+    return img
+
+
+def render_ball(
+    h: int,
+    w: int,
+    xyzs: np.ndarray,
+    c0: np.ndarray,
+    c1: np.ndarray,
+    c2: np.ndarray,
+    radius: int = 8,
+) -> np.ndarray:
+    """The reference's color ball renderer, faithfully.
+
+    Args:
+      xyzs: (n, 3) int32 pixel-space coordinates (x row, y col, z depth).
+      c0/c1/c2: (n,) float colors, 0..255 scale.
+      radius: ball radius in pixels.
+
+    Returns:
+      (h, w, 3) uint8 image.  Channel order and shading match
+      ref:tf_ops/renderball/render_balls_so.cpp:14-57 exactly (including
+      its out[0]=b*c2 / out[1]=g*c0 / out[2]=r*c1 quirk).
+    """
+    import ctypes
+
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    xyzs = np.ascontiguousarray(xyzs, np.int32)
+    n = len(xyzs)
+    img = np.zeros((h, w, 3), np.uint8)
+    lib.dispu_render_ball(
+        h, w, img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        xyzs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _ptr(_f32(c0)), _ptr(_f32(c1)), _ptr(_f32(c2)), radius,
+    )
     return img
 
 

@@ -75,7 +75,7 @@ class DenseEdgeBlock(nn.Module):
     k: int = 16
     use_bn: bool = False
     bn_momentum: float = 0.95
-    gather_impl: str = "gather"  # 'gather' | 'onehot' | 'onehot_hp'
+    gather_impl: str = "gather"  # see ops.grouping.group_point impls
     variant: str = "default"
     dtype: Any = jnp.float32
 
@@ -154,7 +154,7 @@ class FeatureExtractorGCN(nn.Module):
     k: int = 16
     use_bn: bool = False
     bn_momentum: float = 0.95
-    gather_impl: str = "gather"  # 'gather' | 'onehot' | 'onehot_hp'
+    gather_impl: str = "gather"  # see ops.grouping.group_point impls
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -46,8 +46,8 @@ class PointShuffle2(nn.Module):
     use_nonlocal: bool = True     # 'NL'
     use_local: bool = True        # 'Local'
     refine_point: bool = False
-    # feature-gather impl: 'gather' | 'onehot' (bf16 MXU) | 'onehot_hp'
-    # (bit-exact MXU, precision=HIGHEST)
+    # feature-gather impl: 'gather' | 'onehot' (bf16 MXU) | 'onehot_hp' |
+    # 'pallas' (bit-exact MXU, see ops.grouping.group_point)
     gather_impl: str = "gather"
     dtype: Any = jnp.float32
 

@@ -15,7 +15,9 @@ from dispu_tpu.ops.geometry import (
 from dispu_tpu.ops.knn import knn, knn_unique, mask_duplicate_rows
 from dispu_tpu.ops.sampling import (
     farthest_point_sample,
+    farthest_point_sample_bucketed,
     gather_point,
+    morton_codes,
     prob_sample,
     nonuniform_sample_indices,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "knn_unique",
     "mask_duplicate_rows",
     "farthest_point_sample",
+    "farthest_point_sample_bucketed",
+    "morton_codes",
     "gather_point",
     "prob_sample",
     "nonuniform_sample_indices",

@@ -26,8 +26,24 @@ def _directed_min(a: jnp.ndarray, b: jnp.ndarray):
     # the |x|^2-2xy+|y|^2 form has ~1e-6 absolute cancellation error while
     # the CUDA reference's direct (p-q)^2 is exact; this hybrid gets both
     # MXU throughput and exact forward values.
-    d = pairwise_sq_dist(a, b)
-    idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
+    #
+    # On TPU the argmin runs inside the fused kNN kernel (k=1: one
+    # threshold-walk round over the VMEM-resident tile; the (n, m) matrix
+    # never reaches HBM) — same expansion distances, same first-occurrence
+    # tie-break, bit-identical indices to the XLA argmin.
+    # same lower bound as knn._use_pallas: below ~64 dataset points the
+    # kernel's per-grid-step launch overhead dominates and XLA's fused
+    # matmul+argmin wins (tiny-cloud chamfer calls, e.g. tests/metrics)
+    if (jax.default_backend() not in ("cpu", "gpu")
+            and a.ndim == 3 and 64 <= b.shape[-2] <= 4096):
+        from dispu_tpu.ops.pallas_kernels import knn_pallas
+
+        _, idx = knn_pallas(1, jax.lax.stop_gradient(b),
+                            jax.lax.stop_gradient(a))
+        idx = idx[..., 0]
+    else:
+        d = pairwise_sq_dist(a, b)
+        idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
     nearest = jnp.take_along_axis(b, idx[..., None], axis=-2)
     dist = jnp.sum((a - nearest) ** 2, axis=-1)
     return dist, idx

@@ -22,6 +22,7 @@ def query_ball_point(
     new_xyz: jnp.ndarray,
     impl: str = "auto",
     return_dists: bool = False,
+    select_smallest: int = 0,
 ):
     """First-``nsample`` dataset points within ``radius`` of each query.
 
@@ -41,6 +42,10 @@ def query_ball_point(
         selection-grade values with no gradient (padded slots repeat the
         first hit's distance; empty balls give 0).  Lets callers rank
         neighbors without paying the per-row TPU gather for coordinates.
+      sel_idx (only if ``select_smallest`` > 0): (b, m, select_smallest)
+        int32 — the dataset indices of the lowest-distance hits, i.e.
+        ``take_along(idx, top_k(-dists, k).indices)`` selected inside the
+        kernel on TPU (no sort, no (b, m, nsample) round-trip).
 
     Parity: ref:tf_ops/grouping/tf_grouping_g.cu:1-36 — scans dataset points
     in index order, keeps the first ``nsample`` hits, and pads the remaining
@@ -56,6 +61,10 @@ def query_ball_point(
     VMEM-resident key tile (bit-identical outputs; the repulsion/uniform
     losses and the discriminator's SA grouping sit on this op every step).
     """
+    if select_smallest > nsample:
+        raise ValueError(
+            f"select_smallest={select_smallest} exceeds nsample={nsample}"
+        )
     xyz = jnp.asarray(xyz)
     new_xyz = jnp.asarray(new_xyz)
     use_pallas = impl == "pallas" or (
@@ -69,7 +78,8 @@ def query_ball_point(
         from dispu_tpu.ops.pallas_kernels import query_ball_pallas
 
         return query_ball_pallas(
-            radius, nsample, xyz, new_xyz, with_dists=return_dists
+            radius, nsample, xyz, new_xyz,
+            with_dists=return_dists, select_smallest=select_smallest,
         )
     b, n, _ = xyz.shape
     radius = jnp.broadcast_to(jnp.asarray(radius, xyz.dtype), (b,))
@@ -88,12 +98,19 @@ def query_ball_point(
     pad = jnp.where(any_hit, first, 0)
     idx = jnp.where(valid, slots, pad).astype(jnp.int32)
     pts_cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)
-    if return_dists:
+    if return_dists or select_smallest:
         d_sel = jnp.take_along_axis(d, jnp.where(valid, slots, 0), axis=-1)
         d_first = d_sel[..., :1]
         dists = jnp.where(valid, d_sel,
                           jnp.where(any_hit, d_first, 0.0))
-        return idx, pts_cnt, jax.lax.stop_gradient(dists)
+        dists = jax.lax.stop_gradient(dists)
+        extras = []
+        if return_dists:
+            extras.append(dists)
+        if select_smallest:
+            _, sub = jax.lax.top_k(-dists, select_smallest)
+            extras.append(jnp.take_along_axis(idx, sub, axis=-1))
+        return (idx, pts_cnt, *extras)
     return idx, pts_cnt
 
 
@@ -140,7 +157,10 @@ def group_point(
     if impl == "pallas":
         b, n, c = points.shape
         m, k = idx.shape[1], idx.shape[2]
-        fits_vmem = n <= 4096 and c <= 512
+        # working set per grid step: f32 table (n·c·4) + three bf16
+        # decomposition copies (n·c·6) + transposed one-hot (n·tq·2) +
+        # f32 accumulator — cap n·c so the total stays well under VMEM
+        fits_vmem = n <= 4096 and c <= 256 and n * c <= 4096 * 128
         if (jax.default_backend() not in ("cpu", "gpu")
                 and points.dtype == jnp.float32 and fits_vmem):
             from dispu_tpu.ops.pallas_kernels import gather_rows_pallas_diff

@@ -46,11 +46,14 @@ def _use_pallas(impl: str, points: jnp.ndarray, k: int) -> bool:
     if impl == "xla":
         return False
     # auto: the fused kernel needs the (n, c) dataset + a query tile in
-    # VMEM; exact bounds checked conservatively
+    # VMEM; exact bounds checked conservatively.  Below ~64 points the
+    # pairwise problem is trivial and the kernel's per-grid-step launch
+    # overhead dominates (e.g. the uniform loss runs kNN over thousands of
+    # ≤12-point disks) — XLA's fused matmul+top_k wins there.
     return (
         jax.default_backend() not in ("cpu", "gpu")
         and points.ndim == 3
-        and points.shape[-2] <= 4096
+        and 64 <= points.shape[-2] <= 4096
         and points.shape[-1] <= 128
         and k <= 128
     )

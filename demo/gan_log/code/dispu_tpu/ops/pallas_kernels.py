@@ -133,6 +133,106 @@ def fps_pallas(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
     return jax.lax.stop_gradient(out[:, 0, :npoint])
 
 
+def _make_fps_bucketed_kernel(m_per_bucket: int):
+    def kernel(pts_ref, out_ref, mindist_ref):
+        """All K bucket-local FPS loops advance together, one point per
+        bucket per round.
+
+        pts (1, 3, K, n_b) VMEM — coordinate planes with one bucket per
+        row; out (1, K, m_pad).  Exact FPS runs m sequential rounds each
+        touching all n points; here round j selects the j-th point of
+        EVERY bucket at once — the whole (K, n_b) plane is updated in one
+        elementwise pass and the per-bucket argmax is a row-wise
+        reduction, so the sequential depth drops from m to m/K and the
+        total distance-update work from O(n·m) to O(n·m/K).  Per bucket
+        the selection is textbook FPS (seed = local index 0, running min
+        squared distance, first-occurrence argmax) — bit-identical to
+        running the XLA loop on that bucket alone.
+        """
+        K, nb = mindist_ref.shape
+        m_pad = out_ref.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (K, nb), 1)
+        lane_m = jax.lax.broadcasted_iota(jnp.int32, (K, m_pad), 1)
+
+        x = pts_ref[0, 0]  # (K, nb)
+        y = pts_ref[0, 1]
+        z = pts_ref[0, 2]
+
+        out_ref[0] = jnp.zeros((K, m_pad), jnp.int32)  # seed: local idx 0
+        mindist_ref[:, :] = jnp.full((K, nb), 1e38, jnp.float32)
+
+        def body(j, sel):
+            # per-row extraction of the last-selected point's coordinates
+            onehot = lane == sel                       # exactly one per row
+            px = jnp.sum(jnp.where(onehot, x, 0.0), axis=1, keepdims=True)
+            py = jnp.sum(jnp.where(onehot, y, 0.0), axis=1, keepdims=True)
+            pz = jnp.sum(jnp.where(onehot, z, 0.0), axis=1, keepdims=True)
+            d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+            md = jnp.minimum(mindist_ref[:, :], d)
+            mindist_ref[:, :] = md
+            mv = jnp.max(md, axis=1, keepdims=True)    # (K, 1)
+            nxt = jnp.min(
+                jnp.where(md == mv, lane, nb), axis=1, keepdims=True
+            ).astype(jnp.int32)                        # first-occurrence
+            out_ref[0] = jnp.where(lane_m == j, nxt, out_ref[0])
+            return nxt
+
+        jax.lax.fori_loop(
+            1, m_per_bucket, body, jnp.zeros((K, 1), jnp.int32)
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fps_bucketed_pallas(
+    m_per_bucket: int, pts_bucketed: jnp.ndarray, interpret: bool = False
+):
+    """Per-bucket FPS over a (K, n_b, 3) pre-partitioned cloud.
+
+    Returns (K, m_per_bucket) int32 LOCAL indices (into each bucket's
+    n_b axis); per bucket the selection is bit-identical to
+    ``sampling._fps_xla(m_per_bucket, pts_bucketed)`` (tested in
+    interpret mode and guarded on chip by ``bench.parity_guard``).
+    Callers handle the spatial partitioning and the local→global index
+    mapping — see ``dispu_tpu.ops.sampling.farthest_point_sample_bucketed``.
+    """
+    K, nb, _ = pts_bucketed.shape
+    K_pad = _round_up(max(K, 8), 8)
+    nb_pad = _round_up(max(nb, 128), 128)
+    m_pad = _round_up(max(m_per_bucket, 128), 128)
+    pts = jnp.transpose(
+        jax.lax.stop_gradient(pts_bucketed).astype(jnp.float32), (2, 0, 1)
+    )  # (3, K, nb)
+    if K_pad != K or nb_pad != nb:
+        # edge-padding: padded slots replicate each bucket's last point
+        # (padded rows replicate the last bucket) — duplicates have
+        # mindist 0 once their twin is selected, so they are only
+        # re-picked after a bucket's real content is exhausted
+        pts = jnp.pad(
+            pts,
+            ((0, 0), (0, K_pad - K), (0, nb_pad - nb)),
+            mode="edge",
+        )
+    out = pl.pallas_call(
+        _make_fps_bucketed_kernel(m_per_bucket),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, K_pad, nb_pad), lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K_pad, m_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, K_pad, m_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((K_pad, nb_pad), jnp.float32)],
+        interpret=interpret,
+    )(pts[None])
+    return jax.lax.stop_gradient(out[0, :K, :m_per_bucket])
+
+
 def _make_knn_kernel(k: int):
     """Fused distance + k-smallest selection, entirely in VMEM.
 
@@ -171,6 +271,13 @@ def _make_knn_kernel(k: int):
         # rewritten, saving a full (tm, n) VMEM write + re-read per round
         # versus the classic mask-out-and-rescan loop.  Identical selection
         # sequence, ties and all.
+        #
+        # INVARIANT (load-bearing): every entry of d must be FINITE.  The
+        # walk advances past an equal value via the lane order; duplicated
+        # +inf entries would instead re-select the same lane (inf == inf
+        # but the lexicographic step only fires on equality with the
+        # carried value, which min() saturates at inf).  Padded columns
+        # therefore use a finite 1e30 bias, never inf — keep it that way.
         def body(j, carry):
             mv, sel = carry  # (tm, 1) f32, (tm, 1) int32
             later = (d > mv) | ((d == mv) & (lane > sel))
@@ -268,7 +375,8 @@ def knn_pallas(
     return dist_out[:, :m, :k], idx_out[:, :m, :k]
 
 
-def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool):
+def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool,
+                      select_smallest: int = 0, nsample_full: int = 0):
     """Fused ball query: distance tile + first-k-hits-in-index-order.
 
     Same VMEM-resident structure as the kNN kernel, but the selection
@@ -286,10 +394,11 @@ def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool):
     """
 
     def kernel(r2_ref, pts_ref, q_ref, *out_refs):
-        if with_dists:
-            slots_ref, cnt_ref, dist_ref = out_refs
-        else:
-            slots_ref, cnt_ref = out_refs
+        refs = list(out_refs)
+        slots_ref = refs.pop(0)
+        cnt_ref = refs.pop(0)
+        dist_ref = refs.pop(0) if with_dists else None
+        sel_ref = refs.pop(0) if select_smallest else None
         i = pl.program_id(0)
         p = pts_ref[0]  # (n_pad, c_pad)
         q = q_ref[0]    # (tm, c_pad)
@@ -314,36 +423,88 @@ def _make_ball_kernel(nsample: int, n_actual: int, with_dists: bool):
         key = jnp.where(hit, lane, n_actual)
 
         slots_ref[0] = jnp.full((tm, k_pad), n_actual, jnp.int32)
-        if with_dists:
-            dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
+        need_dists = with_dists or select_smallest > 0
 
         # keys are unique lane indices, so walking the ascending order only
         # needs the previous selection as a threshold — one masked-min pass
         # per round, no key-tile rewrite
-        def body(j, sel):
+        def body(j, carry):
+            sel, dists = carry
             sel2 = jnp.min(
                 jnp.where(key > sel, key, n_actual), axis=1, keepdims=True
             )
             slots_ref[0] = jnp.where(lane_k == j, sel2, slots_ref[0])
-            if with_dists:
+            if need_dists:
                 dv = jnp.min(
                     jnp.where(lane == sel2, d, jnp.inf),
                     axis=1, keepdims=True,
                 )
                 dv = jnp.where(sel2 < n_actual, dv, 0.0)
-                dist_ref[0] = jnp.where(lane_k == j, dv, dist_ref[0])
-            return sel2
+                dists = jnp.where(lane_k == j, dv, dists)
+            return sel2, dists
 
-        jax.lax.fori_loop(
-            0, nsample, body, jnp.full((tm, 1), -1, jnp.int32)
+        _, dists = jax.lax.fori_loop(
+            0,
+            nsample,
+            body,
+            (jnp.full((tm, 1), -1, jnp.int32),
+             jnp.zeros((tm, k_pad), jnp.float32)),
         )
+        if with_dists:
+            dist_ref[0] = dists
         cnt = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
         cnt_ref[0] = jnp.broadcast_to(cnt, (tm, cnt_ref.shape[-1]))
+
+        if select_smallest:
+            # the `select_smallest` lowest-distance hits, resolved to
+            # dataset indices, with exactly the composed semantics of
+            # top_k(-dists, k) over the wrapper's padded distance rows
+            # (pad slots repeat the first hit's distance; stable ties by
+            # slot position) followed by take_along(idx, ...).
+            s = slots_ref[0]
+            valid = s < n_actual
+            first_slot = jnp.min(
+                jnp.where(lane_k == 0, s, n_actual), axis=1, keepdims=True
+            )
+            d0 = jnp.min(
+                jnp.where(lane_k == 0, dists, jnp.inf), axis=1, keepdims=True
+            )
+            # pad positions — rounds that found no hit AND positions beyond
+            # the selection loop when n < nsample — carry the first hit's
+            # distance, exactly like the composed XLA path's padded row;
+            # only positions past the caller's nsample are excluded
+            dfix = jnp.where(valid, dists, d0)
+            dfix = jnp.where(
+                lane_k < (nsample_full or nsample), dfix, jnp.inf
+            )
+            pad_idx = jnp.where(first_slot < n_actual, first_slot, 0)
+            sel_pad = sel_ref.shape[-1]
+            lane_s = jax.lax.broadcasted_iota(jnp.int32, (tm, sel_pad), 1)
+            sel_ref[0] = jnp.zeros((tm, sel_pad), jnp.int32)
+
+            mv = jnp.full((tm, 1), -jnp.inf, jnp.float32)
+            pos = jnp.full((tm, 1), -1, jnp.int32)
+            for j in range(select_smallest):
+                later = (dfix > mv) | ((dfix == mv) & (lane_k > pos))
+                mv = jnp.min(
+                    jnp.where(later, dfix, jnp.inf), axis=1, keepdims=True
+                )
+                pos = jnp.min(
+                    jnp.where((dfix == mv) & later, lane_k, k_pad),
+                    axis=1,
+                    keepdims=True,
+                )
+                sval = jnp.min(
+                    jnp.where(lane_k == pos, s, n_actual),
+                    axis=1, keepdims=True,
+                )
+                out_val = jnp.where(sval < n_actual, sval, pad_idx)
+                sel_ref[0] = jnp.where(lane_s == j, out_val, sel_ref[0])
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 6, 7))
 def query_ball_pallas(
     radius,
     nsample: int,
@@ -352,6 +513,7 @@ def query_ball_pallas(
     tile_m: int = 256,
     interpret: bool = False,
     with_dists: bool = False,
+    select_smallest: int = 0,
 ):
     """Ball query via the fused Pallas kernel.
 
@@ -364,6 +526,12 @@ def query_ball_pallas(
     distances of the selected hits (expansion form |q|²−2q·p+|p|², the
     same values the hit test used; padded slots repeat the first hit's
     distance, empty balls give 0) — no gradient, selection-grade values.
+
+    ``select_smallest=k`` additionally returns the dataset indices of the
+    k lowest-distance hits per query, (b, m, k) int32 — exactly
+    ``take_along(idx, top_k(-dists, k).indices)`` of the composed padded
+    outputs, but selected inside the kernel so the caller skips a sort
+    and a (b, m, nsample) round-trip (the repulsion loss's shape).
     """
     # indices/counts carry no gradient (ref: NoGradient on the CUDA op);
     # stopping tangents keeps reverse-mode linearization away from the
@@ -402,6 +570,12 @@ def query_ball_pallas(
             pl.BlockSpec((1, tile_m, k_pad), lambda i, j, *_: (i, j, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32))
+    if select_smallest:
+        sel_pad = _round_up(max(select_smallest, 128), 128)
+        out_specs.append(
+            pl.BlockSpec((1, tile_m, sel_pad), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, m_pad, sel_pad), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -414,8 +588,13 @@ def query_ball_pallas(
         ],
         out_specs=out_specs,
     )
+    if select_smallest > nsample:
+        raise ValueError(
+            f"select_smallest={select_smallest} exceeds nsample={nsample}"
+        )
     outs = pl.pallas_call(
-        _make_ball_kernel(min(nsample, n), n, with_dists),
+        _make_ball_kernel(min(nsample, n), n, with_dists, select_smallest,
+                          nsample_full=nsample),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
@@ -428,12 +607,19 @@ def query_ball_pallas(
     pad = jnp.where(valid[..., :1], first, 0)
     idx = jnp.where(valid, slots, pad).astype(jnp.int32)
     pts_cnt = jnp.minimum(cnt[:, :m, 0], nsample).astype(jnp.int32)
+    extras = []
+    pos = 2
     if with_dists:
-        d_raw = outs[2][:, :m, :nsample]
+        d_raw = outs[pos][:, :m, :nsample]
+        pos += 1
         d_first = d_raw[..., :1]
         dists = jnp.where(valid, d_raw,
                           jnp.where(valid[..., :1], d_first, 0.0))
-        return idx, pts_cnt, dists
+        extras.append(dists)
+    if select_smallest:
+        extras.append(outs[pos][:, :m, :select_smallest])
+    if extras:
+        return (idx, pts_cnt, *extras)
     return idx, pts_cnt
 
 

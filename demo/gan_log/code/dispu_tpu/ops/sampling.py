@@ -71,6 +71,106 @@ def _fps_xla(npoint: int, xyz: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.stop_gradient(out)
 
 
+def _morton_spread3(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v so they occupy every 3rd bit."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_codes(xyz: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
+    """Interleaved-bit (Z-order) spatial keys for a point set.
+
+    Args:
+      xyz: (n, 3) points (any range; normalized internally).
+
+    Returns:
+      (n,) int32 Morton codes — sorting by them yields a spatially
+      coherent 1-D order (nearby points land in nearby ranks).
+    """
+    lo = jnp.min(xyz, axis=0, keepdims=True)
+    hi = jnp.max(xyz, axis=0, keepdims=True)
+    scale = (2**bits - 1) / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(
+        ((xyz - lo) * scale).astype(jnp.int32), 0, 2**bits - 1
+    ).astype(jnp.uint32)
+    code = (
+        _morton_spread3(q[:, 0])
+        | (_morton_spread3(q[:, 1]) << 1)
+        | (_morton_spread3(q[:, 2]) << 2)
+    )
+    return code.astype(jnp.int32)
+
+
+def farthest_point_sample_bucketed(
+    npoint: int,
+    xyz: jnp.ndarray,
+    n_buckets: int = 64,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Approximate FPS via spatially-partitioned parallel selection.
+
+    Exact FPS runs ``npoint`` strictly sequential rounds, each touching
+    all ``n`` points — O(n·npoint) work at sequential depth ``npoint``
+    (0.5+ s for the 16× whole-cloud merge, n≈240k → m=80k).  This mode
+    Morton-sorts the cloud into ``n_buckets`` equal-count spatially
+    coherent buckets and runs all bucket-local FPS loops simultaneously
+    (one Pallas kernel round selects one point per bucket), cutting both
+    the work and the sequential depth by ``n_buckets``×.
+
+    Selection semantics (documented deviation from exact FPS, which stays
+    the default everywhere — see ``InferenceConfig.merge_fps``):
+      * within a bucket: textbook FPS (seed = bucket's first Morton rank,
+        greedy max-min), bit-identical to the XLA loop on that bucket;
+      * across buckets: no coordination — each bucket contributes exactly
+        ``ceil(npoint / n_buckets)`` points, so the output point count per
+        region tracks the INPUT density at bucket granularity instead of
+        exact FPS's globally uniform spacing, and spacing is not enforced
+        across bucket seams.  For the merge workload (patch-overlap dedup)
+        the measured metric deltas are recorded in PERFORMANCE.md.
+
+    Args:
+      npoint: output count (static).
+      xyz: (n, 3) single cloud.
+      n_buckets: spatial buckets (static; sequential depth = npoint / K).
+      impl: 'auto' (Pallas on TPU, XLA loop elsewhere), 'xla', 'pallas'.
+
+    Returns:
+      (npoint,) int32 indices into ``xyz``, ordered round-robin by bucket
+      selection rank (coarse→fine, like exact FPS's ordering globally).
+    """
+    n = xyz.shape[0]
+    K = n_buckets
+    m_b = -(-npoint // K)  # ceil
+    n_b = max(-(-n // K), m_b)
+    pad = K * n_b - n
+
+    order = jnp.argsort(morton_codes(xyz))
+    if pad:
+        order = jnp.concatenate(
+            [order, jnp.broadcast_to(order[-1:], (pad,))]
+        )
+    buckets = xyz[order].reshape(K, n_b, 3)
+
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    if impl == "pallas":
+        from dispu_tpu.ops.pallas_kernels import fps_bucketed_pallas
+
+        local = fps_bucketed_pallas(m_b, buckets)          # (K, m_b)
+    else:
+        local = _fps_xla(m_b, buckets)                      # (K, m_b)
+    global_idx = jnp.take_along_axis(
+        order.reshape(K, n_b), local, axis=1
+    )                                                       # (K, m_b)
+    # round-robin interleave: every bucket's j-th pick before any (j+1)-th
+    return jax.lax.stop_gradient(
+        jnp.swapaxes(global_idx, 0, 1).reshape(-1)[:npoint].astype(jnp.int32)
+    )
+
+
 def gather_point(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather rows of a per-batch point/feature array.
 

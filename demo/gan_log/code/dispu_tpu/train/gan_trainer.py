@@ -18,7 +18,8 @@ from dispu_tpu.train.trainer import BaseTrainer
 
 class GANTrainer(BaseTrainer):
     epoch_metric_keys = (
-        "total", "fine_cd", "d_loss", "g_gan", "uniform", "offset_mean"
+        "total", "fine_cd", "d_loss", "g_gan", "uniform", "offset_mean",
+        "d_gap", "d_var", "d_clip_frac",
     )
 
     def _make_step(self):
@@ -39,7 +40,7 @@ class GANTrainer(BaseTrainer):
     def _format_epoch(self, epoch, meters, minutes):
         return (
             "epoch %04d g_loss=%.9f fine_cd=%.9f d_loss=%.9f g_gan=%.9f "
-            "uniform=%.9f time=%.4f"
+            "uniform=%.9f d_gap=%.6f d_var=%.3e d_clip_frac=%.3f time=%.4f"
             % (
                 epoch,
                 meters["total"].avg,
@@ -47,6 +48,9 @@ class GANTrainer(BaseTrainer):
                 meters["d_loss"].avg,
                 meters["g_gan"].avg,
                 meters["uniform"].avg,
+                meters["d_gap"].avg,
+                meters["d_var"].avg,
+                meters["d_clip_frac"].avg,
                 minutes,
             )
         )

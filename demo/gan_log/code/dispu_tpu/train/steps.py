@@ -28,9 +28,16 @@ from dispu_tpu.train.state import GeneratorState, adam_transform
 def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
     """Build the jitted CD-path train step.
 
-    Step signature: ``(state, gt, radius, key) -> (state, metrics)`` where
-    ``gt`` is the dense patch batch (b, r·n, 3) and the sparse input is
-    derived on device (ref 'random' mode, ref:DisPU/dataset.py:125-130).
+    Step signature depends on the input mode (ref:DisPU/dataset.py:120-140):
+
+    * ``random_input=True`` (default): ``(state, gt, radius, key)`` — the
+      sparse input is a nonuniform re-sample of the dense ``gt`` patch,
+      drawn on device each step (ref 'random' mode,
+      ref:DisPU/dataset.py:125-130).
+    * ``random_input=False``: ``(state, gt, inputs, radius, key)`` — the
+      curated sparse patch (the h5 ``poisson_256`` column) is fed in and
+      augmented jointly with ``gt``, exactly like the reference's
+      non-random mode (ref:DisPU/dataset.py:121,132-140).
     """
     model = DisPUGenerator(
         cfg=cfg.generator, dtype=jnp.dtype(cfg.train.compute_dtype)
@@ -38,12 +45,7 @@ def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
     tx = adam_transform(cfg.train)
     n_in = cfg.generator.num_points
 
-    def step(state: GeneratorState, gt, radius, key):
-        k_sample, k_aug = jax.random.split(key)
-        if cfg.data.random_input:
-            inputs = sample_nonuniform_inputs(k_sample, gt, n_in)
-        else:
-            inputs = gt[:, :n_in]
+    def step_core(state: GeneratorState, gt, inputs, radius, k_aug):
         if cfg.data.augment:
             inputs, gt_aug = augment_batch(
                 k_aug,
@@ -70,13 +72,21 @@ def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
             clip=cfg.train.lr_clip,
         )
 
-        def loss_fn(params):
-            (coarse, fine), updates = model.apply(
+        def fwd(params, inputs):
+            return model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 inputs,
                 train=True,
                 mutable=["batch_stats"],
             )
+
+        if cfg.train.remat:
+            # recompute the forward during the backward pass instead of
+            # keeping the (b, n, k, c) neighborhood activations live
+            fwd = jax.checkpoint(fwd)
+
+        def loss_fn(params):
+            (coarse, fine), updates = fwd(params, inputs)
             total, metrics = L.pu_losses(
                 coarse, fine, gt_aug, radius, weight_fine, cfg.loss
             )
@@ -99,6 +109,22 @@ def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
         )
         return new_state, metrics
 
+    if cfg.data.random_input:
+
+        def step(state: GeneratorState, gt, radius, key):
+            k_sample, k_aug = jax.random.split(key)
+            inputs = sample_nonuniform_inputs(k_sample, gt, n_in)
+            return step_core(state, gt, inputs, radius, k_aug)
+
+        shardings = ("repl", "data", "data", "repl")
+    else:
+
+        def step(state: GeneratorState, gt, inputs, radius, key):
+            _, k_aug = jax.random.split(key)
+            return step_core(state, gt, inputs, radius, k_aug)
+
+        shardings = ("repl", "data", "data", "data", "repl")
+
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
@@ -106,7 +132,9 @@ def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
     data = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(repl, data, data, repl),
+        in_shardings=tuple(
+            repl if s == "repl" else data for s in shardings
+        ),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )

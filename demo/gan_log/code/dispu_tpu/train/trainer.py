@@ -126,7 +126,13 @@ class BaseTrainer:
             raise
 
     def _batches(self, batch_size: int):
-        """Yield (gt, radius) device batches.
+        """Yield (gt, inputs, radius) device batches.
+
+        ``inputs`` is the curated sparse patch column (h5 ``poisson_256``)
+        when ``random_input=False`` — the reference's non-random mode feeds
+        those, not a slice of gt (ref:DisPU/dataset.py:120-130) — and
+        ``None`` in random mode, where the step re-samples the input from
+        gt on device.
 
         With ``device_data`` the whole patch set lives in HBM and each step
         ships only a batch-index array — per-step host→device tensor
@@ -136,19 +142,27 @@ class BaseTrainer:
         import jax.numpy as jnp
 
         cfg = self.cfg
+        random_input = cfg.data.random_input
         nbytes = self.dataset.gt.nbytes
         if cfg.train.device_data and nbytes <= cfg.train.device_data_max_bytes:
             if getattr(self, "_gt_dev", None) is None:
                 self._gt_dev = jnp.asarray(self.dataset.gt)
                 self._radius_dev = jnp.asarray(self.dataset.radius)
+                self._inputs_dev = (
+                    None if random_input else jnp.asarray(self.dataset.inputs)
+                )
             for idx in self.dataset.epoch_indices(batch_size):
                 idx = jnp.asarray(idx)
-                yield self._gt_dev[idx], self._radius_dev[idx]
+                inputs = (
+                    None if random_input else self._inputs_dev[idx]
+                )
+                yield self._gt_dev[idx], inputs, self._radius_dev[idx]
         else:
-            for gt, _inputs, radius in self.dataset.epoch(batch_size):
-                yield gt, radius
+            for gt, inputs, radius in self.dataset.epoch(batch_size):
+                yield gt, (None if random_input else inputs), radius
 
-    def _visualize(self, state, gt, radius, step: int, epoch: int):
+    def _visualize(self, state, gt, radius, step: int, epoch: int,
+                   inputs=None):
         """Periodic 3-view renders of input/coarse/fine/gt.
 
         Parity: ref:DisPU/model.py:265-292 (image summary every
@@ -160,10 +174,11 @@ class BaseTrainer:
 
         if self._eval_step is None:
             self._eval_step = make_eval_step(self.cfg)
-        key = jax.random.PRNGKey(step)
-        inputs = sample_nonuniform_inputs(
-            key, jnp_asarray(gt), self.cfg.generator.num_points
-        )
+        if inputs is None:  # random mode: re-sample like the step does
+            key = jax.random.PRNGKey(step)
+            inputs = sample_nonuniform_inputs(
+                key, jnp_asarray(gt), self.cfg.generator.num_points
+            )
         coarse, fine, _ = self._eval_step(
             self._gen_variables(state), inputs, jnp_asarray(gt),
             jnp_asarray(radius)
@@ -210,11 +225,23 @@ class BaseTrainer:
             t0 = time.time()
             profile_this = cfg.train.profile and epoch_i == start_epoch
             with maybe_profile(cfg.log_dir, profile_this):
-                for gt, radius in self._batches(cfg.train.batch_size):
+                for gt, inputs, radius in self._batches(cfg.train.batch_size):
                     key, sub = jax.random.split(key)
                     if self.mesh is not None:
-                        gt, radius = shard_batch(self.mesh, gt, radius)
-                    state, metrics = self.train_step(state, gt, radius, sub)
+                        if inputs is None:
+                            gt, radius = shard_batch(self.mesh, gt, radius)
+                        else:
+                            gt, inputs, radius = shard_batch(
+                                self.mesh, gt, inputs, radius
+                            )
+                    if inputs is None:
+                        state, metrics = self.train_step(
+                            state, gt, radius, sub
+                        )
+                    else:
+                        state, metrics = self.train_step(
+                            state, gt, inputs, radius, sub
+                        )
                     self._last_state = state
                     step += 1
                     timer.tick()
@@ -234,7 +261,9 @@ class BaseTrainer:
                         cfg.train.visualize
                         and step % cfg.train.steps_per_visu == 0
                     ):
-                        self._visualize(state, gt, radius, step, epoch_i)
+                        self._visualize(
+                            state, gt, radius, step, epoch_i, inputs=inputs
+                        )
             meters = {k: AverageMeter() for k in self.epoch_metric_keys}
             if metric_sums is not None:
                 host_sums = jax.device_get(metric_sums)

@@ -177,6 +177,14 @@ class InferenceConfig:
     patch_num_point: int = 256
     patch_num_ratio: int = 3     # seeds = N / patch_size * ratio
     patch_batch: int = 32        # patches evaluated per device step (TPU win)
+    # final-merge FPS (ref:DisPU/model.py:375-376): 'exact' (default —
+    # reference semantics, m sequential rounds) or 'bucketed' — Morton-
+    # partitioned parallel FPS (ops.sampling.farthest_point_sample_bucketed):
+    # ~n_buckets× less work and sequential depth, exact FPS within each
+    # bucket but equal-count allocation across buckets (documented
+    # approximation; quality deltas measured in PERFORMANCE.md)
+    merge_fps: str = "exact"
+    merge_fps_buckets: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -79,6 +79,16 @@ class PatchUpsampler:
         return pred
 
     def _merge_impl(self, all_points: jnp.ndarray, out_num: int):
+        if (
+            self.inf_cfg.merge_fps == "bucketed"
+            and out_num >= self.inf_cfg.merge_fps_buckets
+        ):
+            from dispu_tpu.ops.sampling import farthest_point_sample_bucketed
+
+            idx = farthest_point_sample_bucketed(
+                out_num, all_points, n_buckets=self.inf_cfg.merge_fps_buckets
+            )
+            return all_points[idx]
         idx = farthest_point_sample(out_num, all_points[None])[0]
         return all_points[idx]
 

@@ -133,6 +133,106 @@ def fps_pallas(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
     return jax.lax.stop_gradient(out[:, 0, :npoint])
 
 
+def _make_fps_bucketed_kernel(m_per_bucket: int):
+    def kernel(pts_ref, out_ref, mindist_ref):
+        """All K bucket-local FPS loops advance together, one point per
+        bucket per round.
+
+        pts (1, 3, K, n_b) VMEM — coordinate planes with one bucket per
+        row; out (1, K, m_pad).  Exact FPS runs m sequential rounds each
+        touching all n points; here round j selects the j-th point of
+        EVERY bucket at once — the whole (K, n_b) plane is updated in one
+        elementwise pass and the per-bucket argmax is a row-wise
+        reduction, so the sequential depth drops from m to m/K and the
+        total distance-update work from O(n·m) to O(n·m/K).  Per bucket
+        the selection is textbook FPS (seed = local index 0, running min
+        squared distance, first-occurrence argmax) — bit-identical to
+        running the XLA loop on that bucket alone.
+        """
+        K, nb = mindist_ref.shape
+        m_pad = out_ref.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (K, nb), 1)
+        lane_m = jax.lax.broadcasted_iota(jnp.int32, (K, m_pad), 1)
+
+        x = pts_ref[0, 0]  # (K, nb)
+        y = pts_ref[0, 1]
+        z = pts_ref[0, 2]
+
+        out_ref[0] = jnp.zeros((K, m_pad), jnp.int32)  # seed: local idx 0
+        mindist_ref[:, :] = jnp.full((K, nb), 1e38, jnp.float32)
+
+        def body(j, sel):
+            # per-row extraction of the last-selected point's coordinates
+            onehot = lane == sel                       # exactly one per row
+            px = jnp.sum(jnp.where(onehot, x, 0.0), axis=1, keepdims=True)
+            py = jnp.sum(jnp.where(onehot, y, 0.0), axis=1, keepdims=True)
+            pz = jnp.sum(jnp.where(onehot, z, 0.0), axis=1, keepdims=True)
+            d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+            md = jnp.minimum(mindist_ref[:, :], d)
+            mindist_ref[:, :] = md
+            mv = jnp.max(md, axis=1, keepdims=True)    # (K, 1)
+            nxt = jnp.min(
+                jnp.where(md == mv, lane, nb), axis=1, keepdims=True
+            ).astype(jnp.int32)                        # first-occurrence
+            out_ref[0] = jnp.where(lane_m == j, nxt, out_ref[0])
+            return nxt
+
+        jax.lax.fori_loop(
+            1, m_per_bucket, body, jnp.zeros((K, 1), jnp.int32)
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fps_bucketed_pallas(
+    m_per_bucket: int, pts_bucketed: jnp.ndarray, interpret: bool = False
+):
+    """Per-bucket FPS over a (K, n_b, 3) pre-partitioned cloud.
+
+    Returns (K, m_per_bucket) int32 LOCAL indices (into each bucket's
+    n_b axis); per bucket the selection is bit-identical to
+    ``sampling._fps_xla(m_per_bucket, pts_bucketed)`` (tested in
+    interpret mode and guarded on chip by ``bench.parity_guard``).
+    Callers handle the spatial partitioning and the local→global index
+    mapping — see ``dispu_tpu.ops.sampling.farthest_point_sample_bucketed``.
+    """
+    K, nb, _ = pts_bucketed.shape
+    K_pad = _round_up(max(K, 8), 8)
+    nb_pad = _round_up(max(nb, 128), 128)
+    m_pad = _round_up(max(m_per_bucket, 128), 128)
+    pts = jnp.transpose(
+        jax.lax.stop_gradient(pts_bucketed).astype(jnp.float32), (2, 0, 1)
+    )  # (3, K, nb)
+    if K_pad != K or nb_pad != nb:
+        # edge-padding: padded slots replicate each bucket's last point
+        # (padded rows replicate the last bucket) — duplicates have
+        # mindist 0 once their twin is selected, so they are only
+        # re-picked after a bucket's real content is exhausted
+        pts = jnp.pad(
+            pts,
+            ((0, 0), (0, K_pad - K), (0, nb_pad - nb)),
+            mode="edge",
+        )
+    out = pl.pallas_call(
+        _make_fps_bucketed_kernel(m_per_bucket),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, K_pad, nb_pad), lambda i: (0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, K_pad, m_pad), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, K_pad, m_pad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((K_pad, nb_pad), jnp.float32)],
+        interpret=interpret,
+    )(pts[None])
+    return jax.lax.stop_gradient(out[0, :K, :m_per_bucket])
+
+
 def _make_knn_kernel(k: int):
     """Fused distance + k-smallest selection, entirely in VMEM.
 

@@ -389,3 +389,68 @@ class TestConverterMapping:
         x = jnp.asarray(rng.randn(1, 32, 3), jnp.float32)
         coarse, fine = model.apply(converted, x, train=False)
         assert coarse.shape == fine.shape == (1, 128, 3)
+
+
+class TestEulerAngles:
+    """Full rotation-conversion surface (ref:Common/eulerangles.py:98-417)."""
+
+    def test_euler_mat_roundtrip(self):
+        from dispu_tpu.utils import eulerangles as ea
+
+        for z, y, x in [(1.3, -0.1, 0.2), (0.0, 0.5, -1.1), (-2.0, 1.2, 3.0)]:
+            M = ea.euler2mat(z, y, x)
+            np.testing.assert_allclose(M @ M.T, np.eye(3), atol=1e-12)
+            z2, y2, x2 = ea.mat2euler(M)
+            np.testing.assert_allclose(
+                ea.euler2mat(z2, y2, x2), M, atol=1e-12
+            )
+
+    def test_euler2mat_composition(self):
+        from dispu_tpu.utils import eulerangles as ea
+
+        M = ea.euler2mat(1.3, -0.1, 0.2)
+        M1 = ea.euler2mat(1.3)
+        M2 = ea.euler2mat(0, -0.1)
+        M3 = ea.euler2mat(0, 0, 0.2)
+        # z first, then y, then x (applied to column vectors)
+        np.testing.assert_allclose(M, M3 @ M2 @ M1, atol=1e-12)
+
+    def test_quat_consistency(self):
+        from dispu_tpu.utils import eulerangles as ea
+
+        z, y, x = 0.7, -0.4, 1.9
+        q = ea.euler2quat(z, y, x)
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-12)
+        np.testing.assert_allclose(
+            ea.quat2mat(q), ea.euler2mat(z, y, x), atol=1e-12
+        )
+        z2, y2, x2 = ea.quat2euler(q)
+        np.testing.assert_allclose([z2, y2, x2], [z, y, x], atol=1e-10)
+
+    def test_angle_axis_roundtrip(self):
+        from dispu_tpu.utils import eulerangles as ea
+
+        z, y, x = 0.9, 0.3, -0.6
+        theta, vec = ea.euler2angle_axis(z, y, x)
+        np.testing.assert_allclose(np.linalg.norm(vec), 1.0, atol=1e-12)
+        np.testing.assert_allclose(
+            ea.angle_axis2mat(theta, vec), ea.euler2mat(z, y, x), atol=1e-12
+        )
+        z2, y2, x2 = ea.angle_axis2euler(theta, vec)
+        np.testing.assert_allclose([z2, y2, x2], [z, y, x], atol=1e-10)
+
+    def test_gimbal_lock_branch(self):
+        from dispu_tpu.utils import eulerangles as ea
+
+        M = ea.euler2mat(0.4, np.pi / 2, 0.7)
+        z, y, x = ea.mat2euler(M)
+        assert x == 0.0
+        np.testing.assert_allclose(ea.euler2mat(z, y, x), M, atol=1e-7)
+
+    def test_identity_and_zero_quat(self):
+        from dispu_tpu.utils import eulerangles as ea
+
+        np.testing.assert_allclose(ea.euler2mat(), np.eye(3))
+        np.testing.assert_allclose(ea.quat2mat([0, 0, 0, 0]), np.eye(3))
+        theta, vec = ea.quat2angle_axis([1.0, 0, 0, 0])
+        assert theta == 0.0

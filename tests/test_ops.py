@@ -138,6 +138,57 @@ class TestSampling:
         got = np.asarray(ops.farthest_point_sample(8, xyz))
         assert (got[:, 0] == 0).all()
 
+    def test_bucketed_fps_covers_like_exact(self, rng):
+        """Golden quality check for the documented-approximate merge mode
+        (farthest_point_sample_bucketed): on a patchy overlapping cloud —
+        the merge workload's density profile — the bucketed selection's
+        coverage radius (max distance from any input point to its nearest
+        selected point) stays within 2x of exact FPS, all indices are
+        valid and unique, and the ordering is round-robin by bucket."""
+        # overlapping clusters mimic merged patch overlap (2-3x density)
+        centers = rng.randn(12, 3).astype(np.float32)
+        pts = np.concatenate(
+            [c + 0.35 * rng.randn(340, 3).astype(np.float32) for c in centers]
+        )  # (4080, 3)
+        n, m, K = pts.shape[0], 512, 16
+        xyz = jnp.asarray(pts)
+
+        sel_b = np.asarray(ops.farthest_point_sample_bucketed(m, xyz, K))
+        sel_e = np.asarray(ops.farthest_point_sample(m, xyz[None]))[0]
+
+        assert sel_b.shape == (m,)
+        assert sel_b.min() >= 0 and sel_b.max() < n
+        assert len(set(sel_b.tolist())) == m  # no duplicates at this fill
+
+        def coverage(sel):
+            d = np.linalg.norm(pts[:, None] - pts[sel][None], axis=-1)
+            return d.min(axis=1).max()
+
+        cov_b, cov_e = coverage(sel_b), coverage(sel_e)
+        assert cov_b <= 2.0 * cov_e, (cov_b, cov_e)
+
+        # round-robin ordering: the first K selections are the K bucket
+        # seeds — spread out, like exact FPS's coarse-to-fine prefix
+        assert coverage(sel_b[: 2 * K]) <= 3.5 * coverage(sel_e[: 2 * K])
+
+    def test_bucketed_fps_xla_equals_pallas_interpret(self, rng):
+        """The dispatchable impls agree end-to-end (same buckets, same
+        local selections, same mapping)."""
+        from dispu_tpu.ops import pallas_kernels as pk
+
+        xyz = jnp.asarray(rng.randn(1000, 3).astype(np.float32))
+        a = np.asarray(ops.farthest_point_sample_bucketed(96, xyz, 8, impl="xla"))
+        # route the pallas impl through interpret mode
+        orig = pk.fps_bucketed_pallas
+        try:
+            pk.fps_bucketed_pallas = lambda m, b: orig(m, b, interpret=True)
+            b_ = np.asarray(
+                ops.farthest_point_sample_bucketed(96, xyz, 8, impl="pallas")
+            )
+        finally:
+            pk.fps_bucketed_pallas = orig
+        np.testing.assert_array_equal(a, b_)
+
     def test_gather_point(self, rng):
         pts = rng.randn(2, 20, 3).astype(np.float32)
         idx = rng.randint(0, 20, size=(2, 7)).astype(np.int32)

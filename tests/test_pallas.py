@@ -27,6 +27,34 @@ class TestFPSPallas:
         assert len(set(got[0].tolist())) == 64  # all distinct
 
 
+class TestFPSBucketedPallas:
+    @pytest.mark.parametrize("K,nb,mb", [(8, 128, 16), (16, 256, 32)])
+    def test_matches_per_bucket_xla_fps(self, rng, K, nb, mb):
+        """Each bucket row's selection must be bit-identical to the XLA
+        FPS loop run on that bucket alone."""
+        from dispu_tpu.ops.pallas_kernels import fps_bucketed_pallas
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        buckets = rng.randn(K, nb, 3).astype(np.float32)
+        want = np.asarray(_fps_xla(mb, jnp.asarray(buckets)))
+        got = np.asarray(
+            fps_bucketed_pallas(mb, jnp.asarray(buckets), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_nonaligned_shapes(self, rng):
+        # K and n_b off the (8, 128) tile grid exercise the edge padding
+        from dispu_tpu.ops.pallas_kernels import fps_bucketed_pallas
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        buckets = rng.randn(5, 130, 3).astype(np.float32)
+        want = np.asarray(_fps_xla(12, jnp.asarray(buckets)))
+        got = np.asarray(
+            fps_bucketed_pallas(12, jnp.asarray(buckets), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 class TestKnnPallas:
     def test_matches_xla_knn(self, rng):
         from dispu_tpu.ops.knn import knn
