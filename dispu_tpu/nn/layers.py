@@ -92,6 +92,10 @@ class PointConv(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,
+                # contrib.layers.batch_norm's default (the reference's BN,
+                # ref:Common/tf_util.py:527) — flax's 1e-5 default deviates
+                # measurably at inference with unit moving variance
+                epsilon=1e-3,
                 dtype=self.dtype,
                 name="bn",
             )(x)

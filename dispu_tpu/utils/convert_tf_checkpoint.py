@@ -10,6 +10,14 @@ the layout conversion (``convert_value``), the tree assembly
 (``expected_tf_names``) are all TF-free and tested with a synthetic
 TF-shaped tensor round-trip (tests/test_extras.py).
 
+The full mapping is VERIFIED against the real reference graph by
+``scripts/tf_parity.py`` (tests/test_tf_parity.py): the reference
+generator built under tf.compat.v1 has exactly the 70 variables this
+module predicts (names and shapes), and a genuine TF1 checkpoint
+converted here reproduces the reference graph's (coarse, fine) outputs
+through our DisPUGenerator to max|Δ| ≈ 3e-7.  The only thing the
+BASELINE.md north star still needs is the released artifact itself.
+
 Scope mapping (reference graph → flax tree), established from
 ref:DisPU/generator.py:45-81 and the op implementations:
 
@@ -23,15 +31,18 @@ ref:DisPU/generator.py:45-81 and the op implementations:
       → params/coarse_coordinate_regressor/fc_layer{i}/dense/kernel
   generator/refine/PointShuffle/{conv0,conv1,skip,after_conv,aggregation}
       → params/PointShuffle/...
-  generator/refine/PointShuffle/conv_kv|conv_query|conv_back_project
-      → params/PointShuffle/nonlocal/...
+  generator/refine/PointShuffle/PointShuffle/conv_kv|conv_query|conv_back_project
+      → params/PointShuffle/nonlocal/...   (the NL cell re-opens a
+                                            'PointShuffle' scope)
   generator/refine/PointShuffle/weight_net/wconv0/{weights,bn/*}
       → params/PointShuffle/weight_net/wconv0/{dense/kernel,bn/*}
   generator/refine/fine_coordinate_regressor/fc_layer{i}/...
 
 Weight layout notes:
-  * TF 1x1 conv kernels are (1, 1, Cin, Cout) or (1, W, Cin, Cout);
-    squeeze the spatial dims → flax Dense kernel (Cin, Cout).
+  * TF 1×1 conv2d kernels are (1, 1, Cin, Cout); conv1d sites (the
+    ``*_prep`` compressions, both coordinate regressors' fc_layers, the
+    refiner's skip/aggregation) store (1, Cin, Cout) — flatten the
+    spatial dims → flax Dense kernel (Cin, Cout).
   * The refiner's 'after_conv' is a TF conv with kernel (1, C', S, Cout)
     consuming the (C', S) plane; flax flattens (C', S) C'-major, so the TF
     kernel reshapes to (C'*S, Cout) with the same ordering — no permute.
@@ -71,9 +82,12 @@ _RULES = [
      r"\1/\2/dense/kernel"),
     (r"generator/generator/(coarse_coordinate_regressor)/(fc_layer\d)/biases",
      r"\1/\2/dense/bias"),
-    (r"generator/refine/PointShuffle/(conv_kv|conv_query|conv_back_project)/weights",
+    # the non-local cell opens its own 'PointShuffle' scope inside the
+    # refiner's (doubled path) — verified against the real reference graph
+    # by scripts/tf_parity.py
+    (r"generator/refine/PointShuffle/PointShuffle/(conv_kv|conv_query|conv_back_project)/weights",
      r"PointShuffle/nonlocal/\1/dense/kernel"),
-    (r"generator/refine/PointShuffle/(conv_kv|conv_query|conv_back_project)/biases",
+    (r"generator/refine/PointShuffle/PointShuffle/(conv_kv|conv_query|conv_back_project)/biases",
      r"PointShuffle/nonlocal/\1/dense/bias"),
     (r"generator/refine/PointShuffle/(conv\d|skip|after_conv|aggregation)/weights",
      r"PointShuffle/\1/dense/kernel"),
@@ -178,12 +192,24 @@ def expected_tf_names(variables, refine_nsample: int) -> Dict[str, tuple]:
             else "generator/generator/"
         )
         if "nonlocal" in parts:
-            parts.remove("nonlocal")
+            # the non-local cell re-opens a 'PointShuffle' variable scope
+            # inside the refiner's (verified by scripts/tf_parity.py)
+            parts[parts.index("nonlocal")] = "PointShuffle"
         shape = tuple(leaf.shape)
         if parts[-2:] == ["dense", "kernel"]:
             cin, cout = shape
+            layer = parts[-3]
+            # conv1d sites store 3-D kernels (1, Cin, Cout); conv2d sites
+            # 4-D (1, 1, Cin, Cout) — verified against the real graph
+            is_conv1d = (
+                layer.endswith("_prep")
+                or layer.startswith("fc_layer")
+                or layer in ("skip", "aggregation")
+            )
             if parts[-3] == "after_conv":
                 tf_shape = (1, cin // refine_nsample, refine_nsample, cout)
+            elif is_conv1d:
+                tf_shape = (1, cin, cout)
             else:
                 tf_shape = (1, 1, cin, cout)
             name = "/".join(parts[:-2]) + "/weights"

@@ -231,7 +231,9 @@ class TestConverterMapping:
                 ("params", "feature_extraction_coarse/layer2/l1/dense/bias"),
             "generator/generator/upshuffle_0/conv1/weights":
                 ("params", "upshuffle_0/conv1/dense/kernel"),
-            "generator/refine/PointShuffle/conv_kv/weights":
+            # the NL cell re-opens a 'PointShuffle' scope (real-graph name,
+            # verified by scripts/tf_parity.py)
+            "generator/refine/PointShuffle/PointShuffle/conv_kv/weights":
                 ("params", "PointShuffle/nonlocal/conv_kv/dense/kernel"),
             "generator/refine/PointShuffle/weight_net/wconv0/bn/gamma":
                 ("params", "PointShuffle/weight_net/wconv0/bn/scale"),
@@ -273,7 +275,7 @@ class TestConverterMapping:
             "generator/refine/PointShuffle/skip/weights",
             "generator/refine/PointShuffle/after_conv/weights",
             "generator/refine/PointShuffle/aggregation/weights",
-            "generator/refine/PointShuffle/conv_query/weights",
+            "generator/refine/PointShuffle/PointShuffle/conv_query/weights",
             "generator/refine/PointShuffle/weight_net/wconv0/weights",
             "generator/refine/PointShuffle/weight_net/wconv0/bn/moving_variance",
             "generator/refine/fine_coordinate_regressor/fc_layer1/biases",
