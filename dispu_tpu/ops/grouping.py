@@ -168,6 +168,14 @@ def group_point(
             out = gather_rows_pallas_diff(points, idx.reshape(b, m * k))
             return out.reshape(b, m, k, c)
         return jax.vmap(lambda p, i: p[i])(points, idx)
+    if impl in ("onehot", "onehot_hp") and points.shape[-2] > 2048:
+        # the one-hot contraction does O(n) MXU work PER GATHERED ROW; at
+        # the refiner's second-pass scale (n=4096) that is ~2.3 PFLOP per
+        # step vs ~1 GB of native-gather traffic — measured 45.5 ms
+        # one-hot vs ~18 ms native at (32, 4096, 16, 131).  onehot_hp and
+        # gather are bit-identical, so the switch preserves the exactness
+        # contract; crossover sits near n≈2048 on v5e.
+        impl = "gather"
     if impl in ("onehot", "onehot_hp"):
         b, n, c = points.shape
         m, k = idx.shape[1], idx.shape[2]

@@ -15,7 +15,7 @@ The full mapping is VERIFIED against the real reference graph by
 generator built under tf.compat.v1 has exactly the 70 variables this
 module predicts (names and shapes), and a genuine TF1 checkpoint
 converted here reproduces the reference graph's (coarse, fine) outputs
-through our DisPUGenerator to max|Δ| ≈ 3e-7.  The only thing the
+through our DisPUGenerator to max|Δ| ≈ 3e-7 (and the discriminator graph likewise, Δ ≈ 1e-7).  The only thing the
 BASELINE.md north star still needs is the released artifact itself.
 
 Scope mapping (reference graph → flax tree), established from

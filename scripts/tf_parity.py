@@ -51,8 +51,18 @@ def install_reference_shims():
     tf1.disable_v2_behavior()
     tf1.disable_eager_execution()
     # reference code (and the exec'd tf_grouping below) must see the v1
-    # API when it does `import tensorflow as tf`
-    sys.modules["tensorflow"] = tf1
+    # API when it does `import tensorflow as tf`; a proxy module lets us
+    # override attributes the module wrapper refuses to take (contrib,
+    # layers.max_pooling2d)
+    _overrides: dict = {}
+
+    class _TFProxy(types.ModuleType):
+        def __getattr__(self, name):
+            if name in _overrides:
+                return _overrides[name]
+            return getattr(tf1, name)
+
+    sys.modules["tensorflow"] = _TFProxy("tensorflow")
 
     # --- nanoflann host kNN -> scipy cKDTree (both exact) ---------------
     def knn_batch(support_pts, query_pts, k, omp=False):
@@ -98,18 +108,52 @@ def install_reference_shims():
         compile("\n".join(lines), "<ref tf_grouping>", "exec"),
         grouping.__dict__,
     )
+
+    # the CUDA group_point is a plain batched gather
+    # (ref:tf_ops/grouping/tf_grouping_g.cu:38-60) — replace the
+    # grouping_module-backed wrapper with the equivalent TF gather
+    def _group_point(points, idx):
+        return tf1.gather(points, idx, batch_dims=1)
+
+    grouping.group_point = _group_point
     sys.modules["tf_grouping"] = grouping
 
-    # --- tf_sampling / tf_interpolate: present but unreachable ----------
+    # --- tf_sampling: the CUDA FPS/gather served by exact host code -----
+    def _np_fps(npoint, pts):
+        """CUDA FPS semantics (ref:tf_sampling_g.cu:105-170): seed index
+        0, running min squared distance (init 1e38), greedy argmax."""
+        pts = np.asarray(pts)
+        b, n, _ = pts.shape
+        out = np.zeros((b, int(npoint)), np.int32)
+        for i in range(b):
+            mind = np.full(n, 1e38, np.float32)
+            last = 0
+            for j in range(1, int(npoint)):
+                d = np.sum((pts[i] - pts[i, last]) ** 2, axis=-1)
+                mind = np.minimum(mind, d)
+                last = int(np.argmax(mind))
+                out[i, j] = last
+        return out
+
+    def farthest_point_sample(npoint, inp):
+        idx = tf1.py_func(
+            lambda p: _np_fps(npoint, p), [inp], tf1.int32
+        )
+        idx.set_shape([inp.shape[0], npoint])
+        return idx
+
+    def gather_point(inp, idx):
+        return tf1.gather(inp, idx, batch_dims=1)
+
     def _unreachable(*a, **k):
         raise NotImplementedError(
-            "custom CUDA op reached from the generator forward — "
-            "the parity harness assumes it is not"
+            "custom CUDA op reached from a path the parity harness "
+            "assumes is dead"
         )
 
     sampling = types.ModuleType("tf_sampling")
-    sampling.farthest_point_sample = _unreachable
-    sampling.gather_point = _unreachable
+    sampling.farthest_point_sample = farthest_point_sample
+    sampling.gather_point = gather_point
     sampling.prob_sample = _unreachable
     sys.modules["tf_sampling"] = sampling
 
@@ -117,6 +161,37 @@ def install_reference_shims():
     interpolate.three_nn = _unreachable
     interpolate.three_interpolate = _unreachable
     sys.modules["tf_interpolate"] = interpolate
+
+    # --- tf_nndistance: exact numpy NN distance (for loss parity) -------
+    def _np_nnd(a, b):
+        d = np.sum(
+            (a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1
+        )
+        i1 = np.argmin(d, axis=2).astype(np.int32)
+        i2 = np.argmin(d, axis=1).astype(np.int32)
+        d1 = np.min(d, axis=2).astype(np.float32)
+        d2 = np.min(d, axis=1).astype(np.float32)
+        return d1, i1, d2, i2
+
+    def nn_distance(xyz1, xyz2):
+        d1, i1, d2, i2 = tf1.py_func(
+            _np_nnd, [xyz1, xyz2],
+            [tf1.float32, tf1.int32, tf1.float32, tf1.int32],
+        )
+        for t, ref_t in ((d1, xyz1), (i1, xyz1), (d2, xyz2), (i2, xyz2)):
+            t.set_shape(ref_t.shape[:2])
+        return d1, i1, d2, i2
+
+    nnd = types.ModuleType("tf_nndistance")
+    nnd.nn_distance = nn_distance
+    sys.modules["tf_nndistance"] = nnd
+
+    # --- Common.Const: missing in the reference checkout (the GAN path's
+    # latent breakage, SURVEY P4) — any string works, it only feeds
+    # sys.path suffixes
+    const = types.ModuleType("Common.Const")
+    const.GPU = ""
+    sys.modules["Common.Const"] = const
 
     # --- tf.contrib shim: only what the generator path touches ----------
     # xavier_initializer IS glorot-uniform (same fan-avg uniform bound);
@@ -158,31 +233,74 @@ def install_reference_shims():
                 inputs, mm, mv, beta, gamma, epsilon
             )
 
+    def _contrib_conv2d(inputs, num_outputs, kernel_size, stride=1,
+                        padding="SAME", activation_fn=tf1.nn.relu,
+                        normalizer_fn=None, normalizer_params=None,
+                        weights_initializer=None, weights_regularizer=None,
+                        biases_regularizer=None, scope=None, reuse=None):
+        # contrib.layers.conv2d: variables '{scope or Conv}/weights' +
+        # '/biases', xavier default init — the discriminator path's conv
+        # (ref:Common/tf_util2.py:92-112,47-62)
+        if isinstance(kernel_size, int):
+            kernel_size = [kernel_size, kernel_size]
+        if isinstance(stride, int):
+            stride = [stride, stride]
+        cin = int(inputs.shape[-1])
+        init = weights_initializer or tf1.glorot_uniform_initializer()
+        with tf1.variable_scope(
+            scope, default_name="Conv", reuse=reuse
+        ):
+            w = tf1.get_variable(
+                "weights", list(kernel_size) + [cin, num_outputs],
+                initializer=init,
+            )
+            b = tf1.get_variable(
+                "biases", [num_outputs],
+                initializer=tf1.zeros_initializer(),
+            )
+            out = tf1.nn.conv2d(
+                inputs, w, strides=[1] + list(stride) + [1], padding=padding
+            ) + b
+            if normalizer_fn is not None:
+                out = normalizer_fn(out, **(normalizer_params or {}))
+            if activation_fn is not None:
+                out = activation_fn(out)
+            return out
+
     contrib = types.SimpleNamespace(
         layers=types.SimpleNamespace(
             xavier_initializer=tf1.glorot_uniform_initializer,
             l2_regularizer=_l2_regularizer,
             batch_norm=_batch_norm,
             fully_connected=_unreachable,
-            conv2d=_unreachable,
+            conv2d=_contrib_conv2d,
+            conv1d=_unreachable,
         )
     )
-    try:
-        tf1.contrib = contrib
-    except Exception:  # module wrapper refuses setattr: wrap in a proxy
-        class _Proxy(types.ModuleType):
-            def __getattr__(self, name):
-                if name == "contrib":
-                    return contrib
-                return getattr(tf1, name)
+    # tf.layers.max_pooling2d was removed with Keras 3 — provide the thin
+    # nn.max_pool2d equivalent the discriminator needs
+    def _max_pooling2d(inputs, pool_size, strides, padding="valid",
+                       name=None):
+        if isinstance(pool_size, int):
+            pool_size = [pool_size, pool_size]
+        if isinstance(strides, int):
+            strides = [strides, strides]
+        return tf1.nn.max_pool2d(
+            inputs,
+            ksize=[1] + list(pool_size) + [1],
+            strides=[1] + list(strides) + [1],
+            padding=padding.upper(),
+            name=name,
+        )
 
-        proxy = _Proxy("tensorflow")
-        sys.modules["tensorflow"] = proxy
-        sys.path.insert(0, REF)
-        return tf1
+    class _LayersProxy:
+        def __getattr__(self, name):
+            if name == "max_pooling2d":
+                return _max_pooling2d
+            return getattr(tf1.layers, name)
 
-    # --- reference code sees the v1 API as `tensorflow` -----------------
-    sys.modules["tensorflow"] = tf1
+    _overrides["contrib"] = contrib
+    _overrides["layers"] = _LayersProxy()
     sys.path.insert(0, REF)
     return tf1
 
@@ -190,6 +308,7 @@ def install_reference_shims():
 def build_reference_graph(tf1, batch=2, n=256):
     from DisPU.generator import Generator
 
+    tf1.set_random_seed(0)  # deterministic xavier draws run to run
     opts = types.SimpleNamespace(patch_num_point=n, up_ratio=4)
     inputs = tf1.placeholder(tf1.float32, (batch, n, 3), name="inputs")
     gen = Generator(opts, is_training=False, name="generator")
@@ -279,12 +398,118 @@ def main():
     sc = np.abs(coarse_ref).max()
     print(f"coarse max|Δ| = {dc:.3e} (scale {sc:.3f})", flush=True)
     print(f"fine   max|Δ| = {df:.3e}", flush=True)
+
+    d_ok = run_discriminator_parity(tf1)
+
+    # fine's tolerance is looser than coarse's: the refiner re-groups the
+    # COARSE positions by kNN, and the ~1e-7 coarse deltas between the
+    # frameworks can flip near-tied 16th-neighbor selections, which shows
+    # up as sparse ~1e-4 local differences in fine (weight-dependent;
+    # both selections are valid kNN of their own inputs)
     ok = (
         not missing and not extra and not shape_mismatch
-        and dc < 1e-4 and df < 1e-4
+        and dc < 1e-5 and df < 1e-3 and d_ok
     )
     print("PARITY:", "OK" if ok else "MISMATCH", flush=True)
     return 0 if ok else 1
+
+
+def run_discriminator_parity(tf1) -> bool:
+    """Reference Discriminator (ref:DisPU/discriminator.py +
+    tf_util2.pointnet_sa_module_msg3) vs our PatchDiscriminator, weights
+    transferred graph→flax directly (no released D checkpoint exists, so
+    the mapping lives here, not in the converter)."""
+    import re
+
+    import jax
+
+    tf1.reset_default_graph()
+    from DisPU.discriminator import Discriminator
+
+    rng = np.random.RandomState(1)
+    batch, n = 2, 1024
+    pred_np = rng.randn(batch, n, 3).astype(np.float32) * 0.5
+    gt_np = rng.randn(batch, n, 3).astype(np.float32) * 0.5
+
+    opts = types.SimpleNamespace()
+    pred_t = tf1.placeholder(tf1.float32, (batch, n, 3))
+    gt_t = tf1.placeholder(tf1.float32, (batch, n, 3))
+    disc = Discriminator(opts, is_training=False, name="discriminator")
+    values_t = disc(pred_t, gt=gt_t)
+
+    with tf1.Session() as sess:
+        sess.run(tf1.global_variables_initializer())
+        values_ref = sess.run(
+            values_t, feed_dict={pred_t: pred_np, gt_t: gt_np}
+        )
+        weights = {
+            v.name.split(":")[0]: sess.run(v)
+            for v in tf1.global_variables()
+        }
+    print(f"discriminator graph: {len(weights)} variables, "
+          f"values {values_ref.shape}", flush=True)
+
+    # graph name → our flax path
+    params: dict = {}
+    unmapped = []
+    for name, val in weights.items():
+        m = re.fullmatch(
+            r"discriminator/layer1/(conv\d_\d)/Conv/(weights|biases)", name
+        )
+        if m:
+            layer, kind = m.group(1), m.group(2)
+            node = params.setdefault("layer1", {}).setdefault(
+                layer, {}
+            ).setdefault("dense", {})
+        else:
+            m = re.fullmatch(
+                r"discriminator/patch/conv_0/(weights|biases)", name
+            )
+            if not m:
+                unmapped.append(name)
+                continue
+            kind = m.group(1)
+            node = params.setdefault("patch", {}).setdefault("dense", {})
+        if kind == "weights":
+            node["kernel"] = val.reshape(-1, val.shape[-1])
+        else:
+            node["bias"] = val
+    if unmapped:
+        print("  unmapped D variables:", unmapped, flush=True)
+        return False
+
+    from dispu_tpu.config import DiscriminatorConfig
+    from dispu_tpu.models.discriminator import PatchDiscriminator
+
+    model = PatchDiscriminator(cfg=DiscriminatorConfig())
+    template = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, n, 3), np.float32),
+        np.zeros((1, n, 3), np.float32),
+    )
+    import flax.traverse_util as tu
+
+    t_flat = tu.flatten_dict(template["params"], sep="/")
+    p_flat = tu.flatten_dict(params, sep="/")
+    if set(t_flat) != set(p_flat):
+        print("  D param tree mismatch:",
+              sorted(set(t_flat) ^ set(p_flat))[:10], flush=True)
+        return False
+    shape_bad = [
+        k for k in t_flat if t_flat[k].shape != p_flat[k].shape
+    ]
+    if shape_bad:
+        print("  D shape mismatch:", shape_bad[:10], flush=True)
+        return False
+
+    values_j = np.asarray(
+        model.apply({"params": params}, pred_np, gt_np)
+    )
+    # ref: (b, np, 2, 1) via strided max-pool over the concat axis;
+    # ours: (b, np, 2, 1) stacked [gt-pool, pred-pool]
+    dv = np.abs(values_j - values_ref.reshape(values_j.shape)).max()
+    print(f"discriminator values max|Δ| = {dv:.3e} "
+          f"(scale {np.abs(values_ref).max():.3f})", flush=True)
+    return bool(dv < 1e-4)
 
 
 if __name__ == "__main__":

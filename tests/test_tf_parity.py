@@ -43,3 +43,4 @@ def test_reference_graph_forward_parity():
     assert proc.returncode == 0, f"harness failed:\n{tail}\n{proc.stderr[-2000:]}"
     assert "PARITY: OK" in proc.stdout, tail
     assert "missing=0 extra=0 shape-mismatch=0" in proc.stdout, tail
+    assert "discriminator values max" in proc.stdout, tail
