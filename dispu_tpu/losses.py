@@ -162,9 +162,17 @@ def uniform(
         disks = group_point(pcd, idx)  # (b, npoint, nsample, 3)
         b = disks.shape[0]
         flat = disks.reshape(b * npoint, nsample, 3)
-        nn_sq, _ = knn(2, flat, flat)
-        spacing = jnp.sqrt(jnp.abs(nn_sq[:, :, 1:] + 1e-8))
-        spacing = jnp.mean(spacing, axis=-1)
+        # selection/value split (policy shared with chamfer/repulsion):
+        # the kNN ranks by expansion-form distances, the VALUE is the
+        # exact |p−q|² of the matched neighbor — the reference's knn_point
+        # computes direct-form distances (ref:tf_grouping.py:117-141) and
+        # the expansion form's ~1e-6 cancellation error is magnified by
+        # the sqrt of tiny spacings (rel ~3e-4 in the loss, measured by
+        # scripts/tf_parity.py before this re-evaluation)
+        _, nn_idx = knn(2, flat, flat)
+        nbr = jnp.take_along_axis(flat, nn_idx[:, :, 1][..., None], axis=1)
+        d_exact = jnp.sum((flat - nbr) ** 2, axis=-1)  # (b·np, ns)
+        spacing = jnp.sqrt(jnp.abs(d_exact + 1e-8))
         dev = (spacing - expect_len) ** 2 / (expect_len + 1e-8)
         mean = jnp.mean(dev) * (p * 100) ** 2
         loss.append(mean)

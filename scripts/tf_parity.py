@@ -193,6 +193,54 @@ def install_reference_shims():
     const.GPU = ""
     sys.modules["Common.Const"] = const
 
+    # --- tf_approxmatch: imported by loss_utils, not exercised here -----
+    am = types.ModuleType("tf_approxmatch")
+    am.approx_match = _unreachable
+    am.match_cost = _unreachable
+    sys.modules["tf_approxmatch"] = am
+
+    # --- absent visualization deps of Common.pc_util --------------------
+    for name in ("open3d", "plyfile"):
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            sys.modules[name] = stub
+
+    # --- CUDA ball query (ref:tf_grouping_g.cu:1-36) as exact numpy -----
+    def _np_ball(radius, nsample, xyz, new_xyz):
+        xyz = np.asarray(xyz)
+        q = np.asarray(new_xyz)
+        b, n, _ = xyz.shape
+        m = q.shape[1]
+        ns = int(nsample)
+        idx = np.zeros((b, m, ns), np.int32)
+        cnt = np.zeros((b, m), np.int32)
+        r = float(radius)
+        for i in range(b):
+            d = np.sqrt(
+                np.sum((q[i][:, None] - xyz[i][None]) ** 2, axis=-1)
+            )
+            hit = np.maximum(d, 1e-20) < r  # CUDA's max(sqrt, 1e-20) test
+            for j in range(m):
+                hits = np.nonzero(hit[j])[0][:ns]
+                c = len(hits)
+                if c:
+                    idx[i, j, :] = hits[0]  # pad = first hit
+                    idx[i, j, :c] = hits
+                cnt[i, j] = c
+        return idx, cnt
+
+    def query_ball_point(radius, nsample, xyz, new_xyz):
+        idx, cnt = tf1.py_func(
+            lambda x, q: _np_ball(radius, nsample, x, q),
+            [xyz, new_xyz],
+            [tf1.int32, tf1.int32],
+        )
+        idx.set_shape([new_xyz.shape[0], new_xyz.shape[1], nsample])
+        cnt.set_shape([new_xyz.shape[0], new_xyz.shape[1]])
+        return idx, cnt
+
+    grouping.query_ball_point = query_ball_point
+
     # --- tf.contrib shim: only what the generator path touches ----------
     # xavier_initializer IS glorot-uniform (same fan-avg uniform bound);
     # l2_regularizer only feeds the (unused-at-forward) REG collection
@@ -400,6 +448,7 @@ def main():
     print(f"fine   max|Δ| = {df:.3e}", flush=True)
 
     d_ok = run_discriminator_parity(tf1)
+    l_ok = run_loss_parity(tf1)
 
     # fine's tolerance is looser than coarse's: the refiner re-groups the
     # COARSE positions by kNN, and the ~1e-7 coarse deltas between the
@@ -408,10 +457,55 @@ def main():
     # both selections are valid kNN of their own inputs)
     ok = (
         not missing and not extra and not shape_mismatch
-        and dc < 1e-5 and df < 1e-3 and d_ok
+        and dc < 1e-5 and df < 1e-3 and d_ok and l_ok
     )
     print("PARITY:", "OK" if ok else "MISMATCH", flush=True)
     return 0 if ok else 1
+
+
+def run_loss_parity(tf1) -> bool:
+    """Reference loss graphs (ref:Common/loss_utils.py composed from the
+    shimmed custom ops) vs dispu_tpu.losses on the same arrays."""
+    tf1.reset_default_graph()
+    import Common.loss_utils as LU
+
+    from dispu_tpu import losses as L
+
+    rng = np.random.RandomState(3)
+    pred_np = (rng.rand(2, 1024, 3).astype(np.float32) - 0.5) * 0.6
+    gt_np = (rng.rand(2, 1024, 3).astype(np.float32) - 0.5) * 0.6
+
+    pred_t = tf1.placeholder(tf1.float32, (2, 1024, 3))
+    gt_t = tf1.placeholder(tf1.float32, (2, 1024, 3))
+
+    graphs = {
+        "chamfer": LU.chamfer(pred_t, gt_t, radius=1.0),
+        "chamfer_thresh": LU.chamfer(pred_t, gt_t, threshold=2.0),
+        "hausdorff": LU.hausdorff_loss(pred_t, gt_t),
+        "repulsion_ball": LU.get_repulsion_loss(pred_t),
+        "repulsion_l1": LU.get_repulsion_loss(pred_t, use_l1=True),
+        "uniform": LU.get_uniform_loss(pred_t),
+    }
+    with tf1.Session() as sess:
+        ref = sess.run(graphs, feed_dict={pred_t: pred_np, gt_t: gt_np})
+
+    ours = {
+        "chamfer": L.chamfer(pred_np, gt_np, radius=1.0),
+        "chamfer_thresh": L.chamfer(pred_np, gt_np, threshold=2.0),
+        "hausdorff": L.hausdorff(pred_np, gt_np),
+        "repulsion_ball": L.repulsion(pred_np),
+        "repulsion_l1": L.repulsion(pred_np, use_l1=True),
+        "uniform": L.uniform(pred_np),
+    }
+    ok = True
+    for k in graphs:
+        r, o = float(ref[k]), float(ours[k])
+        rel = abs(r - o) / max(abs(r), 1e-12)
+        line_ok = rel < 1e-4
+        ok = ok and line_ok
+        print(f"loss {k:16s} ref={r:.8f} ours={o:.8f} rel={rel:.2e} "
+              f"{'ok' if line_ok else 'MISMATCH'}", flush=True)
+    return ok
 
 
 def run_discriminator_parity(tf1) -> bool:

@@ -44,3 +44,5 @@ def test_reference_graph_forward_parity():
     assert "PARITY: OK" in proc.stdout, tail
     assert "missing=0 extra=0 shape-mismatch=0" in proc.stdout, tail
     assert "discriminator values max" in proc.stdout, tail
+    # all six reference loss graphs matched
+    assert proc.stdout.count(" ok") >= 6, tail
