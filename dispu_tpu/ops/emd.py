@@ -11,6 +11,18 @@ loop; no shared-memory tiling is needed because XLA tiles the matmuls.
 Numerics follow the CUDA op: float32, ``exp`` underflow to 0 at the coldest
 temperatures, the same 1e-9 guards, and capacity clamping in the same
 order.
+
+Verified against the reference's OWN C++ CPU kernels (compiled from
+ref:tf_ops/approxmatch/tf_approxmatch.cpp and loaded as a real TF op by
+scripts/tf_parity.py): match cost rel ≤ 1.6e-5, transport-plan quality
+rel ≤ 2e-6, cost gradients rel ≤ 3e-5, square and non-square.  Two
+latent reference CPU-kernel defects surfaced in the process (neither
+affects its CUDA training path): ApproxMatch fills its (b, m, n)-declared
+output in (n, m) row-major order (its own MatchCost consumes the same
+layout, masking the bug for square clouds), and MatchCostGrad only
+zero-initializes grad1's x components, returning uninitialized memory in
+y/z.  This implementation uses the properly-labeled layout and a correct
+analytic gradient throughout.
 """
 
 from __future__ import annotations

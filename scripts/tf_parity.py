@@ -449,6 +449,7 @@ def main():
 
     d_ok = run_discriminator_parity(tf1)
     l_ok = run_loss_parity(tf1)
+    e_ok = run_emd_parity(tf1)
 
     # fine's tolerance is looser than coarse's: the refiner re-groups the
     # COARSE positions by kNN, and the ~1e-7 coarse deltas between the
@@ -457,10 +458,140 @@ def main():
     # both selections are valid kNN of their own inputs)
     ok = (
         not missing and not extra and not shape_mismatch
-        and dc < 1e-5 and df < 1e-3 and d_ok and l_ok
+        and dc < 1e-5 and df < 1e-3 and d_ok and l_ok and e_ok
     )
     print("PARITY:", "OK" if ok else "MISMATCH", flush=True)
     return 0 if ok else 1
+
+
+def run_emd_parity(tf1) -> bool:
+    """EMD parity against the reference's OWN C++ CPU kernels
+    (ref:tf_ops/approxmatch/tf_approxmatch.cpp:23-143), compiled here
+    against the installed TF and loaded as a real custom op.
+
+    Layout note (reference defect, documented): the CPU ApproxMatch
+    kernel fills its output in (n, m) row-major order while the tensor is
+    declared (b, m, n) (``weight[k*m+l]`` with k over xyz1's n,
+    ref:tf_approxmatch.cpp:28-80 vs ``TensorShape{b,m,n}`` at :195) — its
+    own MatchCost consumes the same layout so the costs are right, but
+    any other consumer of a non-square match would misread it.  The
+    in-reference training EMD is square (1024×1024), where the layouts
+    coincide.  Our ``approx_match`` produces the properly-labeled
+    (b, m, n) plan; the comparison below reinterprets the CPU buffer.
+    """
+    import subprocess
+    import tempfile
+
+    import jax
+
+    so_path = "/tmp/tf_parity_approxmatch_cpu.so"
+    if not os.path.exists(so_path):
+        import tensorflow as _tf_real  # the proxy forwards sysconfig
+
+        inc = _tf_real.sysconfig.get_include()
+        lib = _tf_real.sysconfig.get_lib()
+        stubs = os.path.join(tempfile.gettempdir(), "tfp_cuda_stubs.cpp")
+        with open(stubs, "w") as f:
+            f.write(
+                "#include <cstdlib>\n"
+                "void approxmatchLauncher(int,int,int,const float*,"
+                "const float*,float*,float*){abort();}\n"
+                "void matchcostLauncher(int,int,int,const float*,"
+                "const float*,const float*,float*){abort();}\n"
+                "void matchcostgradLauncher(int,int,int,const float*,"
+                "const float*,const float*,float*,float*){abort();}\n"
+            )
+        cmd = [
+            "g++", "-shared", "-fPIC", "-O2", "-w",
+            os.path.join(REF, "tf_ops/approxmatch/tf_approxmatch.cpp"),
+            stubs, "-o", so_path,
+            f"-I{inc}", "-D_GLIBCXX_USE_CXX11_ABI=1", "--std=c++17",
+            f"-L{lib}", "-l:libtensorflow_framework.so.2",
+        ]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            print("emd: reference CPU op failed to compile — skipping "
+                  "(non-fatal):", r.stderr[-300:], flush=True)
+            return True
+    mod = tf1.load_op_library(so_path)
+
+    from dispu_tpu.ops.emd import approx_match, match_cost
+
+    ok = True
+    rng = np.random.RandomState(5)
+    for n, m in ((256, 256), (512, 128)):
+        xyz1 = rng.randn(2, n, 3).astype(np.float32) * 0.5
+        xyz2 = rng.randn(2, m, 3).astype(np.float32) * 0.5
+        tf1.reset_default_graph()
+        p1 = tf1.placeholder(tf1.float32, (2, n, 3))
+        p2 = tf1.placeholder(tf1.float32, (2, m, 3))
+        match_t = mod.approx_match(p1, p2)
+        cost_t = mod.match_cost(p1, p2, match_t)
+        grad_t = mod.match_cost_grad(p1, p2, match_t)
+        with tf1.Session() as sess:
+            match_ref, cost_ref, (g1_ref, g2_ref) = sess.run(
+                [match_t, cost_t, grad_t], {p1: xyz1, p2: xyz2}
+            )
+        # reinterpret the CPU buffer's (n, m) layout as the labeled (m, n)
+        match_ref_mn = match_ref.reshape(2, n, m).transpose(0, 2, 1)
+
+        ours = np.asarray(approx_match(xyz1, xyz2))       # (b, m, n)
+        cost_ours = np.asarray(match_cost(xyz1, xyz2, ours))
+        rel = np.abs(cost_ours - cost_ref).max() / np.abs(cost_ref).max()
+        # transport-plan quality: evaluate each plan under the exact cost
+        d = np.sqrt(
+            ((xyz2[:, :, None, :] - xyz1[:, None, :, :]) ** 2).sum(-1)
+        )
+        c_ref_plan = (match_ref_mn * d).sum((1, 2))
+        c_our_plan = (ours * d).sum((1, 2))
+        plan_rel = np.abs(c_our_plan - c_ref_plan).max() / np.abs(
+            c_ref_plan
+        ).max()
+        # cost gradient w.r.t. both clouds, reference plan held fixed
+        g1_j, g2_j = jax.grad(
+            lambda a, b_: jnp_sum_match_cost(a, b_, ours), argnums=(0, 1)
+        )(xyz1, xyz2)
+        # the CPU grad uses ITS plan; ours uses ours — compare with each
+        # fixed to the same (ours) plan via the TF graph
+        tf1.reset_default_graph()
+        p1 = tf1.placeholder(tf1.float32, (2, n, 3))
+        p2 = tf1.placeholder(tf1.float32, (2, m, 3))
+        pm = tf1.placeholder(tf1.float32, ours.shape)
+        grad_t = mod.match_cost_grad(p1, p2, pm)
+        with tf1.Session() as sess:
+            g1_ref, g2_ref = sess.run(
+                grad_t,
+                {p1: xyz1, p2: xyz2,
+                 # feed our plan in the CPU kernel's (n, m) layout
+                 pm: ours.transpose(0, 2, 1).reshape(ours.shape)},
+            )
+        # REFERENCE DEFECT (found by this harness): matchcostgrad_cpu only
+        # zeroes grad1's x components (``grad1[j*3+0]=0``,
+        # ref:tf_approxmatch.cpp:108-109) — its y/z channels accumulate
+        # into uninitialized memory and come back NaN/garbage.  The CUDA
+        # kernel (the path the reference trains on) initializes all three.
+        # Compare grad1 on the x channel only; grad2 fully.
+        g1_rel = np.abs(
+            np.asarray(g1_j)[..., 0] - g1_ref[..., 0]
+        ).max() / max(np.abs(g1_ref[..., 0]).max(), 1e-9)
+        g2_rel = np.abs(np.asarray(g2_j) - g2_ref).max() / max(
+            np.abs(g2_ref).max(), 1e-9
+        )
+        line_ok = rel < 1e-4 and plan_rel < 1e-3 and g1_rel < 1e-4 \
+            and g2_rel < 1e-4
+        ok = ok and line_ok
+        print(f"emd n={n} m={m}: cost rel={rel:.2e} plan rel={plan_rel:.2e} "
+              f"grad rel=({g1_rel:.2e},{g2_rel:.2e}) "
+              f"{'ok' if line_ok else 'MISMATCH'}", flush=True)
+    return ok
+
+
+def jnp_sum_match_cost(xyz1, xyz2, match):
+    from dispu_tpu.ops.emd import match_cost
+
+    import jax.numpy as jnp
+
+    return jnp.sum(match_cost(xyz1, xyz2, match))
 
 
 def run_loss_parity(tf1) -> bool:
