@@ -450,6 +450,8 @@ def main():
     d_ok = run_discriminator_parity(tf1)
     l_ok = run_loss_parity(tf1)
     e_ok = run_emd_parity(tf1)
+    n_ok = run_nnd_parity(tf1)
+    i_ok = run_interp_parity(tf1)
 
     # fine's tolerance is looser than coarse's: the refiner re-groups the
     # COARSE positions by kNN, and the ~1e-7 coarse deltas between the
@@ -459,6 +461,7 @@ def main():
     ok = (
         not missing and not extra and not shape_mismatch
         and dc < 1e-5 and df < 1e-3 and d_ok and l_ok and e_ok
+        and n_ok and i_ok
     )
     print("PARITY:", "OK" if ok else "MISMATCH", flush=True)
     return 0 if ok else 1
@@ -592,6 +595,178 @@ def jnp_sum_match_cost(xyz1, xyz2, match):
     import jax.numpy as jnp
 
     return jnp.sum(match_cost(xyz1, xyz2, match))
+
+
+def _compile_ref_op(tf1, src_rel, so_name, cuda_stub_src="",
+                    source_subs=()):
+    """Compile a reference custom-op .cpp against the installed TF.
+
+    ``source_subs``: (old, new) textual substitutions applied to a copy of
+    the source before compiling — for TF-API renames only (e.g.
+    ``Status::OK()`` → ``OkStatus()``), never behavior changes.
+    """
+    import subprocess
+    import tempfile
+
+    so_path = os.path.join(tempfile.gettempdir(), so_name)
+    if not os.path.exists(so_path):
+        import tensorflow as _tf_real
+
+        inc = _tf_real.sysconfig.get_include()
+        lib = _tf_real.sysconfig.get_lib()
+        src_path = os.path.join(REF, src_rel)
+        if source_subs:
+            text = open(src_path).read()
+            for old, new in source_subs:
+                text = text.replace(old, new)
+            src_path = os.path.join(
+                tempfile.gettempdir(), so_name + "_src.cpp"
+            )
+            with open(src_path, "w") as f:
+                f.write(text)
+        srcs = [src_path]
+        if cuda_stub_src:
+            stub = os.path.join(
+                tempfile.gettempdir(), so_name + "_stubs.cpp"
+            )
+            with open(stub, "w") as f:
+                f.write("#include <cstdlib>\n" + cuda_stub_src)
+            srcs.append(stub)
+        cmd = [
+            "g++", "-shared", "-fPIC", "-O2", "-w", *srcs, "-o", so_path,
+            f"-I{inc}", "-D_GLIBCXX_USE_CXX11_ABI=1", "--std=c++17",
+            f"-L{lib}", "-l:libtensorflow_framework.so.2",
+        ]
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"{so_name}: compile failed — skipping (non-fatal):",
+                  r.stderr[-300:], flush=True)
+            return None
+    return tf1.load_op_library(so_path)
+
+
+def run_nnd_parity(tf1) -> bool:
+    """ops.chamfer.nn_distance (fwd + custom VJP) vs the reference's OWN
+    compiled C++ CPU kernels (ref:tf_ops/nn_distance/tf_nndistance.cpp
+    CPU registrations at :83,:166)."""
+    import jax
+    import jax.numpy as jnp
+
+    mod = _compile_ref_op(
+        tf1, "tf_ops/nn_distance/tf_nndistance.cpp",
+        "tf_parity_nndistance_cpu.so",
+        "void NmDistanceKernelLauncher(int,int,const float*,int,"
+        "const float*,float*,int*,float*,int*){abort();}\n"
+        "void NmDistanceGradKernelLauncher(int,int,const float*,int,"
+        "const float*,const float*,const int*,const float*,const int*,"
+        "float*,float*){abort();}\n",
+    )
+    if mod is None:
+        return True
+
+    from dispu_tpu.ops.chamfer import nn_distance
+
+    rng = np.random.RandomState(7)
+    xyz1 = rng.randn(2, 300, 3).astype(np.float32) * 0.5
+    xyz2 = rng.randn(2, 200, 3).astype(np.float32) * 0.5
+    g1 = rng.rand(2, 300).astype(np.float32)
+    g2 = rng.rand(2, 200).astype(np.float32)
+
+    tf1.reset_default_graph()
+    p1 = tf1.placeholder(tf1.float32, xyz1.shape)
+    p2 = tf1.placeholder(tf1.float32, xyz2.shape)
+    d1_t, i1_t, d2_t, i2_t = mod.nn_distance(p1, p2)
+    gd1 = tf1.placeholder(tf1.float32, g1.shape)
+    gd2 = tf1.placeholder(tf1.float32, g2.shape)
+    gx1_t, gx2_t = mod.nn_distance_grad(p1, p2, gd1, i1_t, gd2, i2_t)
+    with tf1.Session() as sess:
+        d1r, i1r, d2r, i2r, gx1r, gx2r = sess.run(
+            [d1_t, i1_t, d2_t, i2_t, gx1_t, gx2_t],
+            {p1: xyz1, p2: xyz2, gd1: g1, gd2: g2},
+        )
+
+    d1j, i1j, d2j, i2j = nn_distance(xyz1, xyz2)
+    gx1j, gx2j = jax.vjp(nn_distance, xyz1, xyz2)[1](
+        (jnp.asarray(g1), jnp.zeros_like(i1j),
+         jnp.asarray(g2), jnp.zeros_like(i2j))
+    )
+    idx_ok = np.array_equal(np.asarray(i1j), i1r) and np.array_equal(
+        np.asarray(i2j), i2r
+    )
+    d_rel = max(
+        np.abs(np.asarray(d1j) - d1r).max(),
+        np.abs(np.asarray(d2j) - d2r).max(),
+    ) / max(d1r.max(), d2r.max())
+    g_rel = max(
+        np.abs(np.asarray(gx1j) - gx1r).max() / max(np.abs(gx1r).max(), 1e-9),
+        np.abs(np.asarray(gx2j) - gx2r).max() / max(np.abs(gx2r).max(), 1e-9),
+    )
+    ok = idx_ok and d_rel < 1e-5 and g_rel < 1e-5
+    print(f"nn_distance: idx {'bit-equal' if idx_ok else 'MISMATCH'}, "
+          f"dist rel={d_rel:.2e} grad rel={g_rel:.2e} "
+          f"{'ok' if ok else 'MISMATCH'}", flush=True)
+    return ok
+
+
+def run_interp_parity(tf1) -> bool:
+    """ops/interpolate.py vs the reference's compiled CPU ThreeNN /
+    ThreeInterpolate(+Grad) kernels (ref:tf_ops/interpolation/
+    tf_interpolate.cpp — CPU-only in the reference build too)."""
+    import jax
+    import jax.numpy as jnp
+
+    mod = _compile_ref_op(
+        tf1, "tf_ops/interpolation/tf_interpolate.cpp",
+        "tf_parity_interpolate_cpu.so",
+        source_subs=(("Status::OK()", "::tensorflow::OkStatus()"),),
+    )
+    if mod is None:
+        return True
+
+    from dispu_tpu.ops.interpolate import three_interpolate, three_nn
+
+    rng = np.random.RandomState(9)
+    xyz1 = rng.randn(2, 128, 3).astype(np.float32)  # queries
+    xyz2 = rng.randn(2, 64, 3).astype(np.float32)   # known points
+    feats = rng.randn(2, 64, 7).astype(np.float32)
+    gout = rng.rand(2, 128, 7).astype(np.float32)
+
+    tf1.reset_default_graph()
+    p1 = tf1.placeholder(tf1.float32, xyz1.shape)
+    p2 = tf1.placeholder(tf1.float32, xyz2.shape)
+    pf = tf1.placeholder(tf1.float32, feats.shape)
+    dist_t, idx_t = mod.three_nn(p1, p2)
+    # reference usage computes weights in python (ref:Common/
+    # pointnet_util.py:204-209): 1/d normalized over the 3 neighbors
+    dist_c = tf1.maximum(dist_t, 1e-10)
+    norm = tf1.reduce_sum(1.0 / dist_c, axis=2, keepdims=True)
+    w_t = (1.0 / dist_c) / norm
+    out_t = mod.three_interpolate(pf, idx_t, w_t)
+    pg = tf1.placeholder(tf1.float32, gout.shape)
+    gpts_t = mod.three_interpolate_grad(pf, idx_t, w_t, pg)
+    with tf1.Session() as sess:
+        dr, ir, wr, outr, gr = sess.run(
+            [dist_t, idx_t, w_t, out_t, gpts_t],
+            {p1: xyz1, p2: xyz2, pf: feats, pg: gout},
+        )
+
+    dj, ij = three_nn(xyz1, xyz2)
+    idx_ok = np.array_equal(np.asarray(ij), ir)
+    outj = three_interpolate(feats, np.asarray(ij), wr)
+    out_rel = np.abs(np.asarray(outj) - outr).max() / max(
+        np.abs(outr).max(), 1e-9
+    )
+    gj = jax.vjp(
+        lambda f: three_interpolate(f, np.asarray(ij), wr), feats
+    )[1](jnp.asarray(gout))[0]
+    g_rel = np.abs(np.asarray(gj) - gr).max() / max(np.abs(gr).max(), 1e-9)
+    # ThreeNN returns SQUARED distances in the reference CPU kernel
+    d_rel = np.abs(np.asarray(dj) - dr).max() / max(np.abs(dr).max(), 1e-9)
+    ok = idx_ok and out_rel < 1e-5 and g_rel < 1e-5 and d_rel < 1e-4
+    print(f"three_nn/interpolate: idx {'bit-equal' if idx_ok else 'MISMATCH'}"
+          f", dist rel={d_rel:.2e} out rel={out_rel:.2e} "
+          f"grad rel={g_rel:.2e} {'ok' if ok else 'MISMATCH'}", flush=True)
+    return ok
 
 
 def run_loss_parity(tf1) -> bool:

@@ -37,7 +37,7 @@ def test_reference_graph_forward_parity():
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,
     )
     tail = "\n".join(proc.stdout.splitlines()[-25:])
     assert proc.returncode == 0, f"harness failed:\n{tail}\n{proc.stderr[-2000:]}"
