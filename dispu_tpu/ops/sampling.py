@@ -104,11 +104,23 @@ def morton_codes(xyz: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
     return code.astype(jnp.int32)
 
 
+def _bucketed_local(m_b: int, buckets: jnp.ndarray, impl: str) -> jnp.ndarray:
+    """Per-bucket FPS selections, (K', n_b, 3) → (K', m_b) local indices."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+    if impl == "pallas":
+        from dispu_tpu.ops.pallas_kernels import fps_bucketed_pallas
+
+        return fps_bucketed_pallas(m_b, buckets)
+    return _fps_xla(m_b, buckets)
+
+
 def farthest_point_sample_bucketed(
     npoint: int,
     xyz: jnp.ndarray,
     n_buckets: int = 64,
     impl: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """Approximate FPS via spatially-partitioned parallel selection.
 
@@ -136,6 +148,11 @@ def farthest_point_sample_bucketed(
       xyz: (n, 3) single cloud.
       n_buckets: spatial buckets (static; sequential depth = npoint / K).
       impl: 'auto' (Pallas on TPU, XLA loop elsewhere), 'xla', 'pallas'.
+      mesh: optional ``jax.sharding.Mesh`` — buckets are sharded over the
+        mesh's ``data`` axis via ``shard_map`` and selected concurrently
+        (the bucket loops are independent, so the only communication is
+        the output all-gather); bit-identical to the single-device path.
+        Requires ``n_buckets`` divisible by the data-axis size.
 
     Returns:
       (npoint,) int32 indices into ``xyz``, ordered round-robin by bucket
@@ -154,14 +171,35 @@ def farthest_point_sample_bucketed(
         )
     buckets = xyz[order].reshape(K, n_b, 3)
 
-    if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
-    if impl == "pallas":
-        from dispu_tpu.ops.pallas_kernels import fps_bucketed_pallas
-
-        local = fps_bucketed_pallas(m_b, buckets)          # (K, m_b)
+    if mesh is None:
+        local = _bucketed_local(m_b, buckets, impl)         # (K, m_b)
     else:
-        local = _fps_xla(m_b, buckets)                      # (K, m_b)
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n_dev = mesh.shape["data"]
+        if K % n_dev:
+            raise ValueError(
+                f"n_buckets={K} must be divisible by the data axis "
+                f"({n_dev} devices)"
+            )
+        body = partial(_bucketed_local, m_b, impl=impl)
+        try:
+            # the per-shard FPS loop carries device-invariant initials into
+            # a varying loop — no collectives inside, so the varying-axis
+            # check is safely skipped
+            sharded = shard_map(
+                body, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                check_vma=False,
+            )
+        except TypeError:  # older jax: the kwarg was check_rep
+            sharded = shard_map(
+                body, mesh=mesh, in_specs=P("data"), out_specs=P("data"),
+                check_rep=False,
+            )
+        local = sharded(buckets)                            # (K, m_b)
     global_idx = jnp.take_along_axis(
         order.reshape(K, n_b), local, axis=1
     )                                                       # (K, m_b)

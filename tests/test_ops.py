@@ -189,6 +189,19 @@ class TestSampling:
             pk.fps_bucketed_pallas = orig
         np.testing.assert_array_equal(a, b_)
 
+    def test_bucketed_fps_sharded_matches_single(self, rng):
+        """shard_map over the bucket axis (8-device mesh): bit-identical
+        to the single-device path — the merge stage's multi-chip form."""
+        from dispu_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        xyz = jnp.asarray(rng.randn(2000, 3).astype(np.float32))
+        single = ops.farthest_point_sample_bucketed(256, xyz, 16)
+        sharded = ops.farthest_point_sample_bucketed(256, xyz, 16, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
+        with pytest.raises(ValueError):
+            ops.farthest_point_sample_bucketed(256, xyz, 12, mesh=mesh)
+
     def test_gather_point(self, rng):
         pts = rng.randn(2, 20, 3).astype(np.float32)
         idx = rng.randint(0, 20, size=(2, 7)).astype(np.int32)
