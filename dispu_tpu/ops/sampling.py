@@ -176,7 +176,7 @@ def farthest_point_sample_bucketed(
     else:
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         n_dev = mesh.shape["data"]

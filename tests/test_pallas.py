@@ -55,6 +55,65 @@ class TestFPSBucketedPallas:
         np.testing.assert_array_equal(got, want)
 
 
+class TestKernelShapeSweep:
+    """Randomized shape sweep: every kernel must match its XLA reference
+    on arbitrary (non-tile-aligned) shapes — hardens the padding edges
+    beyond the hand-picked cases above."""
+
+    def test_knn_and_ball_random_shapes(self):
+        from dispu_tpu.ops.grouping import query_ball_point
+        from dispu_tpu.ops.knn import knn
+        from dispu_tpu.ops.pallas_kernels import knn_pallas, query_ball_pallas
+
+        rng = np.random.RandomState(42)
+        for trial in range(8):
+            b = int(rng.randint(1, 4))
+            n = int(rng.randint(5, 400))
+            m = int(rng.randint(3, 300))
+            k = int(rng.randint(1, min(n, 40) + 1))
+            pts = rng.randn(b, n, 3).astype(np.float32) * 0.5
+            qs = rng.randn(b, m, 3).astype(np.float32) * 0.5
+
+            d_x, i_x = knn(k, jnp.asarray(pts), jnp.asarray(qs), impl="xla")
+            d_p, i_p = knn_pallas(
+                k, jnp.asarray(pts), jnp.asarray(qs), interpret=True
+            )
+            np.testing.assert_array_equal(
+                np.asarray(i_x), np.asarray(i_p),
+                err_msg=f"knn idx trial {trial} b={b} n={n} m={m} k={k}",
+            )
+
+            ns = int(rng.randint(1, 24))
+            r = float(rng.uniform(0.2, 0.8))
+            i_x2, c_x = query_ball_point(
+                r, ns, jnp.asarray(pts), jnp.asarray(qs), impl="xla"
+            )
+            i_p2, c_p = query_ball_pallas(
+                r, ns, jnp.asarray(pts), jnp.asarray(qs), interpret=True
+            )
+            np.testing.assert_array_equal(
+                np.asarray(i_x2), np.asarray(i_p2),
+                err_msg=f"ball idx trial {trial} b={b} n={n} m={m} ns={ns}",
+            )
+            np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
+
+    def test_fps_random_shapes(self):
+        from dispu_tpu.ops.pallas_kernels import fps_pallas
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        rng = np.random.RandomState(43)
+        for trial in range(6):
+            b = int(rng.randint(1, 3))
+            n = int(rng.randint(4, 500))
+            m = int(rng.randint(1, n + 1))
+            pts = rng.randn(b, n, 3).astype(np.float32)
+            want = np.asarray(_fps_xla(m, jnp.asarray(pts)))
+            got = np.asarray(fps_pallas(m, jnp.asarray(pts), interpret=True))
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"fps trial {trial} b={b} n={n} m={m}"
+            )
+
+
 class TestKnnPallas:
     def test_matches_xla_knn(self, rng):
         from dispu_tpu.ops.knn import knn
