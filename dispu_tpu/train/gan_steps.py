@@ -81,8 +81,14 @@ def create_gan_state(
     return GANState(gen=gen_state, d_params=d_vars["params"], d_opt_state=d_opt)
 
 
-def make_gan_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
-    """D update + clip, then G, in one jitted step.
+def make_gan_train_step(
+    cfg: ExperimentConfig,
+    mesh=None,
+    donate: bool = True,
+    jit_compile: bool = True,
+):
+    """D update + clip, then G, in one jitted step (``jit_compile=False``
+    returns the raw traceable step — see steps.make_train_step).
 
     Signature follows the input mode like the CD step
     (:func:`dispu_tpu.train.steps.make_train_step`): ``(state, gt, radius,
@@ -259,6 +265,8 @@ def make_gan_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
 
         shardings = ("repl", "data", "data", "data", "repl")
 
+    if not jit_compile:
+        return step
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
     repl = replicated_sharding(mesh)

@@ -25,6 +25,9 @@ class GANTrainer(BaseTrainer):
     def _make_step(self):
         return make_gan_train_step(self.cfg, mesh=self.mesh)
 
+    def _make_raw_step(self):
+        return make_gan_train_step(self.cfg, mesh=None, jit_compile=False)
+
     def _make_state(self):
         return create_gan_state(
             jax.random.PRNGKey(self.cfg.train.seed), self.cfg

@@ -25,8 +25,15 @@ from dispu_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from dispu_tpu.train.state import GeneratorState, adam_transform
 
 
-def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
-    """Build the jitted CD-path train step.
+def make_train_step(
+    cfg: ExperimentConfig,
+    mesh=None,
+    donate: bool = True,
+    jit_compile: bool = True,
+):
+    """Build the jitted CD-path train step (``jit_compile=False`` returns
+    the raw traceable step for callers that embed it in a larger jitted
+    program, e.g. the trainer's chunked ``lax.scan`` loop).
 
     Step signature depends on the input mode (ref:DisPU/dataset.py:120-140):
 
@@ -125,6 +132,8 @@ def make_train_step(cfg: ExperimentConfig, mesh=None, donate: bool = True):
 
         shardings = ("repl", "data", "data", "data", "repl")
 
+    if not jit_compile:
+        return step
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -218,8 +218,12 @@ class TestGANTrainer:
 
         return dataclasses.replace(
             TINY_CFG,
+            # scan_steps off: this class tests the stepwise loop (the
+            # crash test monkeypatches train_step, which the chunked path
+            # bypasses); the chunked loop is covered in test_train
             train=TrainConfig(batch_size=4, training_epoch=2,
-                              epoch_per_save=1, backup_sources=True),
+                              epoch_per_save=1, backup_sources=True,
+                              scan_steps=False),
             log_dir=str(log_dir),
         )
 

@@ -115,6 +115,104 @@ class TestTrainStep:
             np.mean(tail_fine), np.mean(tail_coarse))
 
 
+class TestChunkedTraining:
+    """The chunked-scan loop (steps_per_print steps per dispatch) must be
+    a drop-in for the stepwise loop: same step counts, deterministic,
+    crash-checkpoint behavior intact."""
+
+    def _trainer(self, tmp_path, scan_steps, seed=0, steps_per_print=3):
+        import dataclasses
+
+        from dispu_tpu.train.trainer import Trainer
+
+        cfg = ExperimentConfig(
+            generator=TINY_GEN,
+            train=dataclasses.replace(
+                TrainConfig(batch_size=4),
+                scan_steps=scan_steps,
+                steps_per_print=steps_per_print,
+                backup_sources=False,
+                seed=seed,
+            ),
+            data=DataConfig(num_point=32),
+            loss=LossConfig(repulsion_nsample=8),
+            log_dir=str(tmp_path / f"log_{scan_steps}_{seed}"),
+        )
+        ds = PatchDataset(
+            h5_path="/nonexistent", synthetic_patches_count=28,
+            num_point=32, seed=1,
+        )
+        return Trainer(cfg, dataset=ds, use_mesh=False)
+
+    def test_chunked_runs_full_epoch_with_tail(self, tmp_path):
+        # 28 patches / batch 4 = 7 batches; chunk 3 → two chunks + 1 tail
+        tr = self._trainer(tmp_path, scan_steps=True)
+        assert tr._scan_eligible()
+        state = tr.train(epochs=1)
+        assert int(jax.device_get(state.step)) == 7
+        assert int(jax.device_get(state.epoch)) == 1
+
+    def test_chunked_is_deterministic(self, tmp_path):
+        r1 = self._trainer(tmp_path / "a", scan_steps=True).train(epochs=1)
+        r2 = self._trainer(tmp_path / "b", scan_steps=True).train(epochs=1)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(r1.params),
+            jax.tree_util.tree_leaves(r2.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_chunked_trains_like_stepwise(self, tmp_path):
+        """Same data, same step count: both loops must descend to a
+        comparable loss (RNG streams differ by construction, so exact
+        equality is not expected)."""
+        from dispu_tpu.train.steps import make_eval_step
+
+        ev = make_eval_step(TINY_CFG)
+
+        def final_cd(tr):
+            state = tr.train(epochs=4)
+            ds = tr.dataset
+            gt = jnp.asarray(ds.gt[:8])
+            inputs = gt[:, :32]
+            _, _, m = ev(state.variables(), inputs, gt,
+                         jnp.asarray(ds.radius[:8]))
+            return float(m["fine_cd"])
+
+        cd_chunk = final_cd(self._trainer(tmp_path / "c", scan_steps=True))
+        cd_step = final_cd(self._trainer(tmp_path / "s", scan_steps=False))
+        assert np.isfinite(cd_chunk) and np.isfinite(cd_step)
+        # both descend into the same ballpark from a ~60+ start (4 epochs
+        # keeps weight_fine at 0.01, so fine CD falls slowly)
+        assert cd_chunk < 35.0 and cd_step < 35.0
+        assert abs(cd_chunk - cd_step) < 0.7 * max(cd_chunk, cd_step)
+
+    def test_chunked_crash_checkpoint(self, tmp_path):
+        import os
+
+        tr = self._trainer(tmp_path, scan_steps=True)
+        orig = tr._make_chunk_fn
+
+        def exploding_chunk_fn(cs):
+            fn = orig(cs)
+            calls = {"n": 0}
+
+            def wrapped(*a):
+                if calls["n"] >= 1:
+                    raise RuntimeError("boom")
+                calls["n"] += 1
+                return fn(*a)
+
+            return wrapped
+
+        tr._make_chunk_fn = exploding_chunk_fn
+        with pytest.raises(RuntimeError):
+            tr.train(epochs=2)
+        ckpts = [
+            f for f in os.listdir(tr.cfg.log_dir) if f.endswith(".msgpack")
+        ]
+        assert ckpts, "crash checkpoint missing on the chunked path"
+
+
 class TestDataParallel:
     def test_mesh_has_8_devices(self):
         mesh = make_mesh()
