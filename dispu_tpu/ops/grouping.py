@@ -168,13 +168,14 @@ def group_point(
             out = gather_rows_pallas_diff(points, idx.reshape(b, m * k))
             return out.reshape(b, m, k, c)
         return jax.vmap(lambda p, i: p[i])(points, idx)
-    if impl in ("onehot", "onehot_hp") and points.shape[-2] > 2048:
-        # the one-hot contraction does O(n) MXU work PER GATHERED ROW; at
-        # the refiner's second-pass scale (n=4096) that is ~2.3 PFLOP per
-        # step vs ~1 GB of native-gather traffic — measured 45.5 ms
-        # one-hot vs ~18 ms native at (32, 4096, 16, 131).  onehot_hp and
-        # gather are bit-identical, so the switch preserves the exactness
-        # contract; crossover sits near n≈2048 on v5e.
+    if impl == "onehot_hp" and points.shape[-2] > 2048:
+        # the HIGHEST-precision one-hot contraction does O(n) MXU work
+        # PER GATHERED ROW in ~6 bf16 passes; at the refiner's second-pass
+        # scale it loses to the memory-bound native gather (45.5 vs
+        # 39.3 ms at (32, 4096, 16, 131)) — and onehot_hp ≡ gather
+        # bit-for-bit, so the reroute preserves the exactness contract.
+        # The single-pass bf16 'onehot' (turbo mode, documented value
+        # deviation) stays on the MXU: 21.6 ms at the same shape.
         impl = "gather"
     if impl in ("onehot", "onehot_hp"):
         b, n, c = points.shape
