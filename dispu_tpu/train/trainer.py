@@ -326,7 +326,10 @@ class BaseTrainer:
         self._ensure_device_data()
         timer = self._timer
         bs = cfg.train.batch_size
-        idx_all = np.stack(list(self.dataset.epoch_indices(bs)))
+        batches = list(self.dataset.epoch_indices(bs))
+        if not batches:  # dataset smaller than one batch: empty epoch
+            return state, None, 0, step, key
+        idx_all = np.stack(batches)
         nb = len(idx_all)
         cs = max(1, min(cfg.train.steps_per_print, nb))
         if getattr(self, "_chunk_fn", None) is None or self._chunk_cs != cs:

@@ -186,6 +186,34 @@ class TestChunkedTraining:
         assert cd_chunk < 35.0 and cd_step < 35.0
         assert abs(cd_chunk - cd_step) < 0.7 * max(cd_chunk, cd_step)
 
+    def test_empty_epoch_does_not_crash(self, tmp_path):
+        """Dataset smaller than one batch → zero full batches per epoch
+        (the reference would divide into nothing too); both loop flavors
+        must survive it."""
+        import dataclasses
+
+        from dispu_tpu.train.trainer import Trainer
+
+        for scan_steps in (True, False):
+            cfg = ExperimentConfig(
+                generator=TINY_GEN,
+                train=dataclasses.replace(
+                    TrainConfig(batch_size=8), scan_steps=scan_steps,
+                    backup_sources=False,
+                ),
+                data=DataConfig(num_point=32),
+                loss=LossConfig(repulsion_nsample=8),
+                log_dir=str(tmp_path / f"log_empty_{scan_steps}"),
+            )
+            ds = PatchDataset(
+                h5_path="/nonexistent", synthetic_patches_count=2,
+                num_point=32,
+            )
+            tr = Trainer(cfg, dataset=ds, use_mesh=False)
+            state = tr.train(epochs=1)
+            assert int(jax.device_get(state.step)) == 0
+            assert int(jax.device_get(state.epoch)) == 1
+
     def test_chunked_crash_checkpoint(self, tmp_path):
         import os
 
