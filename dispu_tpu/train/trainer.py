@@ -181,38 +181,58 @@ class BaseTrainer:
     def _scan_eligible(self) -> bool:
         """Chunked-scan training: steps_per_print steps per dispatch.
 
-        Single-device + device-resident data only; the mesh path keeps
-        per-step dispatch (its batches carry explicit shardings).
+        Requires device-resident data.  On a mesh, the per-step batch
+        shardings become with_sharding_constraint annotations inside the
+        chunk (see _make_chunk_fn); off-mesh the chunk is a plain jit.
         """
-        return (
-            self.cfg.train.scan_steps
-            and self.mesh is None
-            and self._device_data_active()
-        )
+        return self.cfg.train.scan_steps and self._device_data_active()
 
     def _make_chunk_fn(self, cs: int):
         """jit( scan of ``cs`` raw steps ): (state, idx (cs, bs), key) →
         (state, on-device metric sums, last step's metrics).  Index
         slicing, per-step RNG, and metric accumulation all happen on
         device — one dispatch and one scalar fetch per ``cs`` steps
-        instead of ~5 dispatches per step."""
+        instead of ~5 dispatches per step.
+
+        Mesh path: the gathered batch is constrained to the ``data``
+        axis inside the chunk and the state stays replicated — XLA
+        shards each step and inserts the gradient psum exactly as in the
+        per-step sharded jit (equivalence pinned by
+        tests/test_train.py::test_chunked_mesh_matches_single_device).
+        """
         import jax.numpy as jnp
 
         raw = self._make_raw_step()
         gt_dev = self._gt_dev
         radius_dev = self._radius_dev
         inputs_dev = self._inputs_dev
+        mesh = self.mesh
+        if mesh is not None:
+            from dispu_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+            )
+
+            data_sh = batch_sharding(mesh)
+            repl = replicated_sharding(mesh)
+
+        def constrain(x):
+            if mesh is None:
+                return x
+            return jax.lax.with_sharding_constraint(x, data_sh)
 
         def chunk(state, idx_chunk, key):
             def body(s, xs):
                 i, idx = xs
                 sub = jax.random.fold_in(key, i)
-                gt = gt_dev[idx]
-                radius = radius_dev[idx]
+                gt = constrain(gt_dev[idx])
+                radius = constrain(radius_dev[idx])
                 if inputs_dev is None:
                     s2, metrics = raw(s, gt, radius, sub)
                 else:
-                    s2, metrics = raw(s, gt, inputs_dev[idx], radius, sub)
+                    s2, metrics = raw(
+                        s, gt, constrain(inputs_dev[idx]), radius, sub
+                    )
                 return s2, metrics
 
             state, ms = jax.lax.scan(
@@ -222,7 +242,14 @@ class BaseTrainer:
             last = jax.tree_util.tree_map(lambda a: a[-1], ms)
             return state, sums, last
 
-        return jax.jit(chunk, donate_argnums=(0,))
+        if mesh is None:
+            return jax.jit(chunk, donate_argnums=(0,))
+        return jax.jit(
+            chunk,
+            in_shardings=(repl, repl, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0,),
+        )
 
     def _visualize(self, state, gt, radius, step: int, epoch: int,
                    inputs=None):

@@ -186,6 +186,68 @@ class TestChunkedTraining:
         assert cd_chunk < 35.0 and cd_step < 35.0
         assert abs(cd_chunk - cd_step) < 0.7 * max(cd_chunk, cd_step)
 
+    def test_chunked_mesh_matches_single_device(self, tmp_path):
+        """The mesh chunk (sharding constraints inside the scan) uses the
+        SAME fold_in RNG stream as the single-device chunk, so the final
+        params must agree up to collective reduction order."""
+        import dataclasses
+
+        from dispu_tpu.train.trainer import Trainer
+
+        def train(use_mesh, tag):
+            cfg = ExperimentConfig(
+                generator=TINY_GEN,
+                train=dataclasses.replace(
+                    TrainConfig(batch_size=8), scan_steps=True,
+                    steps_per_print=3, backup_sources=False,
+                ),
+                data=DataConfig(num_point=32),
+                loss=LossConfig(repulsion_nsample=8),
+                log_dir=str(tmp_path / f"log_mesh_{tag}"),
+            )
+            ds = PatchDataset(
+                h5_path="/nonexistent", synthetic_patches_count=24,
+                num_point=32, seed=1,
+            )
+            tr = Trainer(cfg, dataset=ds, use_mesh=use_mesh)
+            if use_mesh:
+                assert tr.mesh is not None
+            assert tr._scan_eligible()
+            return tr.train(epochs=2)
+
+        single = train(False, "s")
+        mesh = train(True, "m")
+        assert int(jax.device_get(mesh.step)) == 6
+        # Adam at early steps amplifies the sharded reductions' fp
+        # ordering noise into per-element sign flips (update ≈ sign(g)),
+        # so elementwise closeness is ill-conditioned after 6 steps.
+        # Assert (a) params agree within the total movement bound
+        # (6 steps × lr 1e-3, with Adam's transient overshoot ≤2×; a
+        # wrong psum would be O(1) off) and
+        # (b) the trained FUNCTIONS agree on held-out data.
+        for a, b in zip(
+            jax.tree_util.tree_leaves(single.params),
+            jax.tree_util.tree_leaves(mesh.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1.2e-2
+            )
+        from dispu_tpu.train.steps import make_eval_step
+
+        ds_eval = PatchDataset(
+            h5_path="/nonexistent", synthetic_patches_count=8,
+            num_point=32, seed=5,
+        )
+        ev = make_eval_step(TINY_CFG)
+        gt = jnp.asarray(ds_eval.gt)
+        inputs = gt[:, :32]
+        radius = jnp.asarray(ds_eval.radius)
+        _, _, m1 = ev(single.variables(), inputs, gt, radius)
+        _, _, m2 = ev(mesh.variables(), inputs, gt, radius)
+        np.testing.assert_allclose(
+            float(m1["fine_cd"]), float(m2["fine_cd"]), rtol=0.05
+        )
+
     def test_empty_epoch_does_not_crash(self, tmp_path):
         """Dataset smaller than one batch → zero full batches per epoch
         (the reference would divide into nothing too); both loop flavors
