@@ -209,40 +209,49 @@ def geodesic_distances(
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     w = np.linalg.norm(verts[e[:, 0]] - verts[e[:, 1]], axis=1)
 
-    # --- (1b) rhombus shortcuts across each interior edge
-    edge_faces = {}
-    for fi, (a, b, c) in enumerate(faces):
-        for u, v, opp in ((a, b, c), (b, c, a), (c, a, b)):
-            key = (min(u, v), max(u, v))
-            edge_faces.setdefault(key, []).append(opp)
-    sc_rows, sc_cols, sc_w = [], [], []
-    for (u, v), opps in edge_faces.items():
-        if len(opps) != 2:
-            continue
-        c, d = opps
-        # unfold both triangles into the plane: local x along u→v
-        base = verts[v] - verts[u]
-        blen = np.linalg.norm(base)
-        if blen < 1e-12:
-            continue
-        bx = base / blen
-
-        def planar(p):
-            rel = verts[p] - verts[u]
-            x = rel @ bx
-            y = math.sqrt(max(float(rel @ rel - x * x), 0.0))
-            return x, y
-
-        xc, yc = planar(c)
-        xd, yd = planar(d)  # folded to −y side
-        denom = yc + yd
-        if denom < 1e-12:
-            continue
-        cross_x = xc + (xd - xc) * yc / denom
-        if 0.0 <= cross_x <= blen:  # segment crosses the shared edge
-            sc_rows.append(c)
-            sc_cols.append(d)
-            sc_w.append(math.hypot(xd - xc, yd + yc))
+    # --- (1b) rhombus shortcuts across each interior edge (vectorized:
+    # the per-edge python loop cost ~11 s/mesh in tiny np.linalg.norm
+    # calls; this computes all unfoldings in a handful of array ops)
+    e_all = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
+    )
+    opp_all = np.concatenate([faces[:, 2], faces[:, 0], faces[:, 1]])
+    ekey = (
+        np.minimum(e_all[:, 0], e_all[:, 1]) * np.int64(nv)
+        + np.maximum(e_all[:, 0], e_all[:, 1])
+    )
+    order = np.argsort(ekey, kind="stable")
+    ks, opps_s, uvs = ekey[order], opp_all[order], e_all[order]
+    # manifold interior edges appear exactly twice → adjacent after sort
+    _, inv, cnt = np.unique(ks, return_inverse=True, return_counts=True)
+    first_of_pair = np.nonzero(
+        (ks[:-1] == ks[1:]) & (cnt[inv[:-1]] == 2)
+    )[0]
+    u = uvs[first_of_pair, 0]
+    v = uvs[first_of_pair, 1]
+    c = opps_s[first_of_pair]
+    d = opps_s[first_of_pair + 1]
+    # unfold both triangles into the plane: local x along u→v, opposite
+    # vertices on ±y sides of the shared edge
+    base = verts[v] - verts[u]
+    blen = np.sqrt(np.sum(base * base, axis=1))
+    safe = blen > 1e-12
+    bx = base / np.maximum(blen, 1e-30)[:, None]
+    rel_c = verts[c] - verts[u]
+    rel_d = verts[d] - verts[u]
+    xc = np.sum(rel_c * bx, axis=1)
+    yc = np.sqrt(np.maximum(np.sum(rel_c * rel_c, 1) - xc * xc, 0.0))
+    xd = np.sum(rel_d * bx, axis=1)
+    yd = np.sqrt(np.maximum(np.sum(rel_d * rel_d, 1) - xd * xd, 0.0))
+    denom = yc + yd
+    safe &= denom > 1e-12
+    cross_x = xc + (xd - xc) * yc / np.maximum(denom, 1e-30)
+    # add the shortcut only when the straight segment actually crosses
+    # the shared edge (it never undercuts a true geodesic then)
+    hit = safe & (cross_x >= 0.0) & (cross_x <= blen)
+    sc_rows = c[hit]
+    sc_cols = d[hit]
+    sc_w = np.hypot(xd - xc, yd + yc)[hit]
 
     # --- (2) augmentation: node nv+s is seed s, wired to its face verts
     sv = faces[np.asarray(seed_faces, np.int64)]          # (ns, 3)
@@ -279,13 +288,20 @@ def geodesic_distances(
     la = np.clip(1.0 - lb - lc, 0.0, 1.0)
     lam = np.stack([la, lb, lc], axis=1)                   # (np, 3)
     lam /= np.maximum(lam.sum(1, keepdims=True), 1e-12)
-    d_interp = np.einsum("snk,nk->sn", dv[:, pv], lam)     # (ns, np)
+    # the (ns, np, 3) gathers dominate the tail — materialize once, in
+    # f32 (the distance field is metric output, not graph weights; f32
+    # keeps rel error ~1e-7 and halves ~25 large-array passes)
+    dvp = dv[:, pv].astype(np.float32)                     # (ns, np, 3)
+    d_interp = np.einsum(
+        "snk,nk->sn", dvp, lam.astype(np.float32)
+    )                                                      # (ns, np)
     # the vertex-exit route (graph + straight tail) is an upper bound; the
     # barycentric interpolation of a convex distance field also
     # overestimates — take the tighter of the two
-    tail = np.linalg.norm(verts[pv] - points[:, None, :], axis=2)  # (np, 3)
-    d_exit = np.min(dv[:, pv] + tail[None], axis=2)
-    d = np.minimum(d_interp, d_exit)
+    tail = np.linalg.norm(
+        verts[pv] - points[:, None, :], axis=2
+    ).astype(np.float32)                                   # (np, 3)
+    d = np.minimum(d_interp, np.min(dvp + tail[None], axis=2))
 
     # --- (4) near-field: same-face / shared-vertex pairs use the exact
     # euclidean (= geodesic on a plane); within a couple of edge lengths
@@ -299,7 +315,11 @@ def geodesic_distances(
     # large and the override must not fire (the through-space shortcut
     # would report ~gap instead of the around-the-fold geodesic; pinned by
     # tests/test_geodesic.py::test_folded_sheet_no_shortcut).
-    direct = np.linalg.norm(seeds[:, None, :] - points[None, :, :], axis=2)
+    direct = np.linalg.norm(
+        seeds.astype(np.float32)[:, None, :]
+        - points.astype(np.float32)[None, :, :],
+        axis=2,
+    )
     near = np.asarray(seed_faces)[:, None] == np.asarray(point_faces)[None]
     for i in range(3):
         sv_i = sv[:, i][:, None, None]                 # (ns, 1, 1)
