@@ -284,10 +284,13 @@ def _make_knn_kernel(k: int):
             mv2 = jnp.min(
                 jnp.where(later, d, jnp.inf), axis=1, keepdims=True
             )
+            # (d == mv2) & later ≡ (d == mv2) & ((mv2 > mv) | (lane > sel)):
+            # if mv2 > mv, both reduce to d == mv2 (> mv ⊂ later); if
+            # mv2 == mv, both reduce to (d == mv) & (lane > sel).  Reusing
+            # the materialized `later` drops two broadcast compares per
+            # selection round.
             sel2 = jnp.min(
-                jnp.where(
-                    (d == mv2) & ((mv2 > mv) | (lane > sel)), lane, n_pad
-                ),
+                jnp.where((d == mv2) & later, lane, n_pad),
                 axis=1,
                 keepdims=True,
             )
@@ -623,7 +626,7 @@ def query_ball_pallas(
     return idx, pts_cnt
 
 
-def _make_gather_kernel():
+def _make_gather_kernel(exact: bool = True):
     """Exact row gather as a 3-pass bf16 one-hot contraction in VMEM.
 
     One grid step = (one cloud, one query tile).  The feature table is
@@ -636,6 +639,10 @@ def _make_gather_kernel():
     query index broadcast over sublanes — which needs no lane↔sublane
     relayout of the index vector; the contraction then runs over the
     sublane axis of both operands (the MXU's Aᵀ·B form).
+
+    With ``exact=False`` only the leading bf16 term is contracted — one
+    MXU pass, values bf16-rounded (the in-VMEM analog of the XLA 'onehot'
+    turbo gather; same documented value deviation).
     """
 
     def kernel(tbl_ref, idx_ref, out_ref):
@@ -645,9 +652,6 @@ def _make_gather_kernel():
         tq = idx.shape[-1]
 
         t1 = t.astype(jnp.bfloat16)
-        r1 = t - t1.astype(jnp.float32)
-        t2 = r1.astype(jnp.bfloat16)
-        t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tq), 0)
         ohT = (rows == idx).astype(jnp.bfloat16)   # (n_pad, tq)
@@ -656,23 +660,28 @@ def _make_gather_kernel():
         acc = jax.lax.dot_general(
             ohT, t1, dn, preferred_element_type=jnp.float32
         )
-        acc = acc + jax.lax.dot_general(
-            ohT, t2, dn, preferred_element_type=jnp.float32
-        )
-        acc = acc + jax.lax.dot_general(
-            ohT, t3, dn, preferred_element_type=jnp.float32
-        )
+        if exact:
+            r1 = t - t1.astype(jnp.float32)
+            t2 = r1.astype(jnp.bfloat16)
+            t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                ohT, t2, dn, preferred_element_type=jnp.float32
+            )
+            acc = acc + jax.lax.dot_general(
+                ohT, t3, dn, preferred_element_type=jnp.float32
+            )
         out_ref[0] = acc  # (tq, c_pad)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def gather_rows_pallas(
     table: jnp.ndarray,
     idx: jnp.ndarray,
     tile_q: int = 512,
     interpret: bool = False,
+    exact: bool = True,
 ):
     """Bit-exact ``table[b, idx[b]]`` on the MXU, resident in VMEM.
 
@@ -681,6 +690,8 @@ def gather_rows_pallas(
         fine for n ≤ ~4096, c ≤ ~512).
       idx: (b, q) int32 row indices.
       tile_q: queries per grid step.
+      exact: 3-pass bit-exact (default); False = single bf16 pass (turbo,
+        values bf16-rounded like the XLA 'onehot' gather).
 
     Returns:
       (b, q, c) float32, bit-identical to ``jax.vmap(lambda t, i: t[i])``
@@ -704,7 +715,7 @@ def gather_rows_pallas(
     ix = ix.at[:, 0, :q].set(idx.astype(jnp.int32))
 
     out = pl.pallas_call(
-        _make_gather_kernel(),
+        _make_gather_kernel(exact),
         grid=(b, q_pad // tile_q),
         in_specs=[
             pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),

@@ -325,6 +325,22 @@ class TestGatherRowsPallas:
         got = gather_rows_pallas(tbl, idx, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_turbo_single_pass_matches_xla_onehot(self, rng):
+        """exact=False contracts only the leading bf16 term — the in-VMEM
+        analog of the XLA 'onehot' turbo gather.  Values must match that
+        path bit-for-bit (same bf16 rounding, same f32 accumulation)."""
+        from dispu_tpu.ops.pallas_kernels import gather_rows_pallas
+
+        tbl = jnp.asarray(rng.randn(3, 300, 37), np.float32)
+        idx = jnp.asarray(rng.randint(0, 300, (3, 155)), np.int32)
+        oh = jax.nn.one_hot(idx, 300, dtype=jnp.bfloat16)
+        ref = jnp.einsum(
+            "bqn,bnc->bqc", oh, tbl.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        got = gather_rows_pallas(tbl, idx, interpret=True, exact=False)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_grad_matches_native_gather(self, rng):
         from dispu_tpu.ops.pallas_kernels import gather_rows_pallas_diff
 
