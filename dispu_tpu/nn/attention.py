@@ -1,9 +1,14 @@
 """Attention cells used by the refiner and optional modules.
 
-All attention maps here are plain batched matmuls + softmax — pure
-MXU/VPU work; at the reference's sizes (≤ 1024×1024 maps) XLA's fusion
-already produces a near-roofline kernel, so no hand-written flash-attention
-is needed (the map fits in VMEM whole).
+The non-local cell's global map grows quadratically with the cloud: at
+the training/pass-1 size (1024²) XLA's einsum+softmax composition is
+near-roofline, but at the 16× second pass (32 × 4096²) it round-trips a
+2.1 GB map through HBM.  ``PointNonLocalCell`` therefore dispatches its
+attention core to the VMEM-resident Pallas kernel
+(:func:`dispu_tpu.ops.pallas_kernels.attention_pallas`) on TPU for large
+maps; the einsum form stays the fallback (and the reference semantics —
+values agree to bf16-matmul rounding, both paths contract at single-pass
+bf16 with f32 accumulation).
 """
 
 from __future__ import annotations
@@ -11,9 +16,38 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dispu_tpu.nn.layers import PointConv, PointMLP
+
+
+def global_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """``softmax(scale·q·kᵀ)·v`` with TPU Pallas dispatch.
+
+    impl: 'auto' (Pallas kernel on TPU when K/V fit VMEM and the map is
+    large enough to pay the launch), 'xla', or 'pallas' (forced; runs in
+    interpreter mode off-TPU for tests).
+    """
+    b, nq, c = q.shape
+    nk, cv = v.shape[1], v.shape[2]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    fits = nk <= 8192 and c <= 256 and cv <= 256
+    if impl == "pallas" or (impl == "auto" and on_tpu and fits
+                            and nq * nk >= 512 * 512):
+        from dispu_tpu.ops.pallas_kernels import attention_pallas_diff
+
+        return attention_pallas_diff(
+            q, k, v, scale, 256, impl == "pallas" and not on_tpu
+        )
+    s = jnp.einsum("bqc,bnc->bqn", q, k) * scale
+    return jnp.einsum("bqn,bnc->bqc", nn.softmax(s, axis=-1), v)
 
 
 class PointNonLocalCell(nn.Module):
@@ -33,6 +67,7 @@ class PointNonLocalCell(nn.Module):
     use_bn: bool = False
     bn_momentum: float = 0.95
     scaled: bool = True
+    attn_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -50,11 +85,10 @@ class PointNonLocalCell(nn.Module):
             new_point, train
         ).reshape(b, np_ * ns, bc)
         keys, values = kv[..., :bc], kv[..., bc:]
-        attn = jnp.einsum("bqc,bnc->bqn", q, keys)
-        if self.scaled:
-            attn = attn / jnp.sqrt(jnp.asarray(bc, attn.dtype))
-        attn = nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bqn,bnc->bqc", attn, values).reshape(b, np_, ns, bc)
+        scale = 1.0 / float(bc) ** 0.5 if self.scaled else 1.0
+        out = global_attention(
+            q, keys, values, scale, impl=self.attn_impl
+        ).reshape(b, np_, ns, bc)
         return PointConv(
             self.out_features, activation=nn.relu, name="conv_back_project", **kw
         )(out, train)

@@ -237,12 +237,28 @@ def grouping(
         idx = knn_indices(k, src_xyz, q_xyz)
     else:
         idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
-    # xyz stays on the exact gather (coordinate precision feeds the
-    # geometry); the wide feature gather may use the fast one-hot path
-    grouped_xyz = group_point(src_xyz, idx)
-    grouped_feature = group_point(feature, idx, impl=gather_impl)
-    if use_xyz:
-        grouped_feature = jnp.concatenate([grouped_xyz, grouped_feature], axis=-1)
+    if gather_impl != "onehot":
+        # One combined [xyz | feature] gather: every exact impl gathers
+        # rows bit-exactly, so xyz keeps full precision, and the native
+        # gather's cost is row-count-bound, not width-bound (measured
+        # 16.9 ms for c=3 vs 17.5 ms for c=128 at the 16x second-pass
+        # shape, scripts/profile_r3k.py) — two same-index gathers cost
+        # twice one combined gather.
+        combined = group_point(
+            jnp.concatenate([src_xyz, feature], axis=-1), idx,
+            impl=gather_impl,
+        )
+        grouped_xyz = combined[..., :3]
+        grouped_feature = combined if use_xyz else combined[..., 3:]
+    else:
+        # turbo bf16 path: features may round, xyz must stay exact —
+        # keep the gathers separate
+        grouped_xyz = group_point(src_xyz, idx)
+        grouped_feature = group_point(feature, idx, impl=gather_impl)
+        if use_xyz:
+            grouped_feature = jnp.concatenate(
+                [grouped_xyz, grouped_feature], axis=-1
+            )
     return grouped_xyz, grouped_feature, idx
 
 

@@ -908,6 +908,171 @@ def _knn_diff_bwd(k, interpret, res, cotangents):
 knn_pallas_diff.defvjp(_knn_diff_fwd, _knn_diff_bwd)
 
 
+def _make_attention_kernel(scale: float, nk: int):
+    """Softmax attention for one (batch, query-tile) grid step.
+
+    K and V for the whole cloud live in VMEM (bottleneck dims are small:
+    nk·c ≤ 4096·64 f32 = 1 MB each at the refiner's scale), so every
+    score row is complete in-register — no online/streaming softmax is
+    needed, unlike FlashAttention over long sequences.  Matmuls run
+    single-pass bf16 with f32 accumulation, matching what XLA's DEFAULT
+    precision does for the einsum form this replaces; softmax stays f32.
+    """
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        q = q_ref[0]                                 # (tq, c) bf16
+        kt = k_ref[0]                                # (nk_pad, c) bf16
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                    # (tq, nk_pad)
+        nk_pad = s.shape[-1]
+        if nk_pad != nk:
+            lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(lane < nk, s, -jnp.inf)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v_ref[0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (tq, cv_pad)
+        o_ref[0] = o / denom
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float = 1.0,
+    tile_q: int = 256,
+    interpret: bool = False,
+):
+    """``softmax(scale · q kᵀ) v`` without materializing the map in HBM.
+
+    The XLA einsum form writes the (b, nq, nk) attention map to HBM and
+    reads it back through the softmax and the value matmul — 2.1 GB of
+    round-trips at the refiner's 16× second-pass shape (32, 4096, 4096).
+    Here the map never leaves VMEM: one grid step computes a full
+    (tile_q, nk) score tile against the whole VMEM-resident K/V.
+
+    Operands are cast bf16 on the host side (the contraction runs
+    single-pass bf16 with f32 accumulation either way — exactly what
+    XLA DEFAULT precision does to the einsum form — and bf16 K/V halve
+    both HBM traffic and VMEM residency; the softmax stays f32).
+
+    Args:
+      q: (b, nq, c) float32 queries.
+      k: (b, nk, c) float32 keys (nk·(c+cv) must fit VMEM — fine for
+        nk ≤ ~8192 at the bottleneck widths used here).
+      v: (b, nk, cv) float32 values.
+      scale: score multiplier (the NL cell passes 1/sqrt(c)).
+      tile_q: queries per grid step; the f32 score tile tile_q·nk_pad
+        dominates the VMEM budget (256·4096·4 = 4 MB; 512 tiles blow the
+        16 MB scoped limit at nk = 4096 — measured).  Internally clamped
+        so the score tile stays ≤ 4 MB at any nk.
+
+    Returns:
+      (b, nq, cv) float32.  Values match the XLA einsum composition to
+      bf16-matmul rounding (this is NN compute, not selection — the
+      exactness policy allows it).
+
+    Parity: ref:Common/ops.py:302-346 (the attention core of
+    ``PointNonLocalCell``, mode='dot').
+    """
+    b, nq, c = q.shape
+    nk, cv = v.shape[1], v.shape[2]
+    nk_pad = _round_up(max(nk, 128), 128)
+    # Clamp the query tile so the f32 score tile (tile_q · nk_pad · 4 B,
+    # the dominant scoped-VMEM resident — the 16 MB limit is real:
+    # tile_q=1024 at nk=4096 was rejected by Mosaic at 21.4 MB) stays
+    # within ~4 MB, leaving room for K/V/q/o and double-buffering.
+    vmem_cap = max(8, (4 * 1024 * 1024 // (nk_pad * 4)) // 8 * 8)
+    tile_q = min(tile_q, vmem_cap, _round_up(max(nq, 8), 8))
+    nq_pad = _round_up(max(nq, tile_q), tile_q)
+    c_pad = _round_up(max(c, 128), 128)
+    cv_pad = _round_up(max(cv, 128), 128)
+
+    qp = jnp.zeros((b, nq_pad, c_pad), jnp.bfloat16)
+    qp = qp.at[:, :nq, :c].set(q.astype(jnp.bfloat16))
+    kp = jnp.zeros((b, nk_pad, c_pad), jnp.bfloat16)
+    kp = kp.at[:, :nk, :c].set(k.astype(jnp.bfloat16))
+    vp = jnp.zeros((b, nk_pad, cv_pad), jnp.bfloat16)
+    vp = vp.at[:, :nk, :cv].set(v.astype(jnp.bfloat16))
+
+    out = pl.pallas_call(
+        _make_attention_kernel(float(scale), nk),
+        grid=(b, nq_pad // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, c_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            # K/V block indices are constant in j, so Mosaic re-fetches
+            # them only on batch changes
+            pl.BlockSpec((1, nk_pad, c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, cv_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, cv_pad), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, cv_pad), jnp.float32),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :nq, :cv]
+
+
+def _attention_xla(q, k, v, scale):
+    """The einsum composition the kernel replaces (XLA fallback)."""
+    s = jnp.einsum("bqc,bnc->bqn", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bqn,bnc->bqc", p, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def attention_pallas_diff(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float = 1.0,
+    tile_q: int = 256,
+    interpret: bool = False,
+):
+    """Differentiable ``attention_pallas`` (pallas_call has no AD rule).
+
+    Backward recomputes the map in XLA (standard softmax-attention VJP:
+    dV = pᵀ·do, ds = p ∘ (do·vᵀ − Σ(do·vᵀ ∘ p)), dQ = scale·ds·k,
+    dK = scale·dsᵀ·q) at DEFAULT matmul precision — the same bf16
+    rounding the forward kernel uses, so forward/backward see the same
+    map up to accumulation order.  Training shapes (nk ≤ 1024) keep the
+    recomputed map small; serving, where the map is 2.1 GB, never calls
+    the backward.
+    """
+    return attention_pallas(q, k, v, scale, tile_q, interpret)
+
+
+def _attention_fwd(q, k, v, scale, tile_q, interpret):
+    return attention_pallas(q, k, v, scale, tile_q, interpret), (q, k, v)
+
+
+def _attention_bwd(scale, tile_q, interpret, res, do):
+    q, k, v = res
+    s = jnp.einsum("bqc,bnc->bqn", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bqn,bqc->bnc", p, do)
+    dp = jnp.einsum("bqc,bnc->bqn", do, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = scale * jnp.einsum("bqn,bnc->bqc", ds, k)
+    dk = scale * jnp.einsum("bqn,bqc->bnc", ds, q)
+    return dq, dk, dv
+
+
+attention_pallas_diff.defvjp(_attention_fwd, _attention_bwd)
+
+
 def nn_distance_chunked(xyz1: jnp.ndarray, xyz2: jnp.ndarray, chunk: int = 4096):
     """Streaming bidirectional NN distance for large clouds.
 

@@ -360,6 +360,90 @@ class TestGatherRowsPallas:
             np.asarray(g_p), np.asarray(g_n), atol=1e-6
         )
 
+class TestAttentionPallas:
+    def _ref(self, q, k, v, scale):
+        s = jnp.einsum("bqc,bnc->bqn", q, k,
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bqn,bnc->bqc", p, v,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    @pytest.mark.parametrize("nq,nk,c,cv", [
+        (64, 64, 16, 16),       # tiny, fully padded
+        (300, 200, 64, 64),     # nq not a tile multiple, nk not x128
+        (1024, 1024, 64, 64),   # the pass-1 NL shape (b small)
+    ])
+    def test_matches_einsum_composition(self, rng, nq, nk, c, cv):
+        from dispu_tpu.ops.pallas_kernels import attention_pallas
+
+        q = jnp.asarray(rng.randn(2, nq, c), np.float32)
+        k = jnp.asarray(rng.randn(2, nk, c), np.float32)
+        v = jnp.asarray(rng.randn(2, nk, cv), np.float32)
+        want = np.asarray(self._ref(q, k, v, 0.125))
+        got = np.asarray(
+            attention_pallas(q, k, v, 0.125, 256, True))
+        # interpret mode contracts bf16 operands like the TPU kernel;
+        # softmax weights bound the output by max|v|, so absolute
+        # tolerance at bf16 epsilon x |v| covers it
+        np.testing.assert_allclose(got, want, atol=3e-2, rtol=1e-2)
+
+    def test_padded_keys_get_zero_weight(self, rng):
+        """nk=200 pads to 256: padded key columns must be masked to -inf
+        before the softmax, not contribute exp(0) weight."""
+        from dispu_tpu.ops.pallas_kernels import attention_pallas
+
+        q = jnp.asarray(rng.randn(1, 64, 32), np.float32)
+        k = jnp.asarray(rng.randn(1, 200, 32), np.float32)
+        # all-equal values: any weight leakage to padded (zero) values
+        # would pull the output below 1
+        v = jnp.ones((1, 200, 8), np.float32)
+        got = np.asarray(attention_pallas(q, k, v, 0.1, 256, True))
+        # bf16 p@V rounding leaves ~3e-4 wiggle; leakage of the 56 padded
+        # exp(0) columns would drag the output toward ~0.7
+        np.testing.assert_allclose(got, 1.0, atol=2e-3)
+
+    def test_grad_matches_einsum_composition(self, rng):
+        from dispu_tpu.ops.pallas_kernels import attention_pallas_diff
+
+        q = jnp.asarray(rng.randn(1, 96, 16), np.float32)
+        k = jnp.asarray(rng.randn(1, 80, 16), np.float32)
+        v = jnp.asarray(rng.randn(1, 80, 16), np.float32)
+
+        def loss_p(q, k, v):
+            return jnp.sum(
+                jnp.sin(attention_pallas_diff(q, k, v, 0.25, 256, True)))
+
+        def loss_x(q, k, v):
+            return jnp.sum(jnp.sin(self._ref(q, k, v, 0.25)))
+
+        gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+    def test_nl_cell_dispatch_matches_xla_path(self, rng):
+        """PointNonLocalCell with attn_impl='pallas' (interpret on CPU)
+        must agree with the einsum path on the same params."""
+        from dispu_tpu.nn.attention import PointNonLocalCell
+
+        feature = jnp.asarray(rng.randn(2, 128, 32), np.float32)
+        new_point = jnp.asarray(rng.randn(2, 1, 128, 32), np.float32)
+        cells = {
+            impl: PointNonLocalCell(bottleneck=32, out_features=64,
+                                    attn_impl=impl)
+            for impl in ("xla", "pallas")
+        }
+        vs = cells["xla"].init(jax.random.PRNGKey(0), feature, new_point)
+        outs = {
+            impl: np.asarray(cell.apply(vs, feature, new_point))
+            for impl, cell in cells.items()
+        }
+        np.testing.assert_allclose(
+            outs["pallas"], outs["xla"], atol=3e-2, rtol=1e-2)
+
+
+class TestGatherRowsPallasDispatch:
     def test_group_point_pallas_impl_falls_back_off_tpu(self, rng):
         """impl='pallas' must route to the exact native gather on CPU."""
         from dispu_tpu.ops.grouping import group_point
