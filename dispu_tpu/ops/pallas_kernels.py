@@ -233,17 +233,40 @@ def fps_bucketed_pallas(
     return jax.lax.stop_gradient(out[0, :K, :m_per_bucket])
 
 
-def _make_knn_kernel(k: int):
+_KNN_SENTINEL = 3.0e37  # must exceed any selectable distance incl. the
+                        # 1e30 padded-column bias; finite (see INVARIANT)
+
+
+def _make_knn_kernel(k: int, variant: str = "maskout"):
     """Fused distance + k-smallest selection, entirely in VMEM.
 
     One grid step = (one cloud, one query tile).  The (tile_m, n) distance
     tile is computed on the MXU and never leaves VMEM; selection is k
-    rounds of (masked-min, first-index-argmin, mask-out) over the resident
-    tile — replacing XLA's sort-based ``top_k`` lowering, which dominated
-    the generator's runtime (21 ms → ~2 ms for (64, 1024) k=16 on v5e).
+    rounds over the resident tile — replacing XLA's sort-based ``top_k``
+    lowering, which dominated the generator's runtime (21 ms → ~2 ms for
+    (64, 1024) k=16 on v5e).
+
+    Two selection formulations, bit-identical outputs (both realize the
+    lexicographic (value, lane) order):
+
+    * ``maskout``: plain min + first-lane argmin, then the selected
+      lane's distance is overwritten with ``_KNN_SENTINEL`` in a VMEM
+      scratch tile — ~6 elementwise passes per round.  The tile rewrite
+      costs one (tile_m, n) VMEM store per round plus a second resident
+      (tile_m, n) tile, but VPU instruction count is the bottleneck at
+      large n, not VMEM bandwidth (scripts/profile_r3n.py: 28.0 → 22.9 ms
+      at (32, 4096, k=16)).
+    * ``walk``: carries the last selected (value, lane) threshold and
+      scans for the strictly-next entry without rewriting the tile —
+      ~11 passes per round, no scratch.  Wins at small n where the
+      maskout's upfront tile copy is not amortized (3.68 vs 4.36 ms at
+      (64, 256, k=17)).
+
+    ``knn_pallas(variant="auto")`` picks by n_pad (measured crossover:
+    maskout wins everywhere tried at n_pad ≥ 512, k=1 included).
     """
 
-    def kernel(pts_ref, q_ref, bias_ref, idx_ref, dist_ref):
+    def kernel(pts_ref, q_ref, bias_ref, idx_ref, dist_ref, *scratch):
         p = pts_ref[0]  # (n_pad, c_pad)
         q = q_ref[0]    # (tm, c_pad)
         n_pad = p.shape[0]
@@ -266,18 +289,44 @@ def _make_knn_kernel(k: int):
         idx_ref[0] = jnp.zeros((tm, k_pad), jnp.int32)
         dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
 
-        # Selection walks the (d, lane) lexicographic order by carrying the
-        # last selected (value, lane) threshold — the d tile is never
-        # rewritten, saving a full (tm, n) VMEM write + re-read per round
-        # versus the classic mask-out-and-rescan loop.  Identical selection
-        # sequence, ties and all.
-        #
-        # INVARIANT (load-bearing): every entry of d must be FINITE.  The
-        # walk advances past an equal value via the lane order; duplicated
-        # +inf entries would instead re-select the same lane (inf == inf
-        # but the lexicographic step only fires on equality with the
-        # carried value, which min() saturates at inf).  Padded columns
-        # therefore use a finite 1e30 bias, never inf — keep it that way.
+        # INVARIANT (load-bearing, both variants): every entry of d must
+        # be FINITE and < _KNN_SENTINEL.  The walk advances past an equal
+        # value via the lane order; duplicated +inf entries would instead
+        # re-select the same lane (inf == inf but the lexicographic step
+        # only fires on equality with the carried value, which min()
+        # saturates at inf).  The mask-out variant overwrites selected
+        # lanes with the sentinel — a real distance at or above it would
+        # tie with consumed lanes.  Padded columns therefore use a finite
+        # 1e30 bias, never inf — keep it that way.
+        if variant == "maskout":
+            # min + first-lane argmin over the live tile, then knock the
+            # selected lane out by overwriting its distance with the
+            # sentinel.  Selection order is the lexicographic (value,
+            # lane) minimum among unconsumed lanes — identical to the
+            # walk, ties and all.
+            (d_ref,) = scratch
+            d_ref[:, :] = d
+
+            def body(j, _):
+                dc = d_ref[:, :]
+                mv2 = jnp.min(dc, axis=1, keepdims=True)
+                sel2 = jnp.min(
+                    jnp.where(dc == mv2, lane, n_pad),
+                    axis=1, keepdims=True,
+                )
+                idx_ref[0] = jnp.where(lane_k == j, sel2, idx_ref[0])
+                dist_ref[0] = jnp.where(lane_k == j, mv2, dist_ref[0])
+                d_ref[:, :] = jnp.where(
+                    lane == sel2, _KNN_SENTINEL, dc
+                )
+                return 0
+
+            jax.lax.fori_loop(0, k, body, 0)
+            return
+
+        # walk: carries the last selected (value, lane) threshold — the
+        # d tile is never rewritten; each round scans for the strictly
+        # next entry in (d, lane) lexicographic order.
         def body(j, carry):
             mv, sel = carry  # (tm, 1) f32, (tm, 1) int32
             later = (d > mv) | ((d == mv) & (lane > sel))
@@ -309,7 +358,7 @@ def _make_knn_kernel(k: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def knn_pallas(
     k: int,
     points: jnp.ndarray,
@@ -317,6 +366,7 @@ def knn_pallas(
     column_bias: jnp.ndarray | None = None,
     tile_m: int = 256,
     interpret: bool = False,
+    variant: str = "auto",
 ):
     """Exact kNN via the fused Pallas kernel.
 
@@ -328,6 +378,9 @@ def knn_pallas(
       column_bias: optional (b, n) additive bias on the distance columns
         (used for duplicate masking — biased columns sort last).
       tile_m: query rows per grid step.
+      variant: selection formulation — 'maskout', 'walk', or 'auto'
+        (maskout for n_pad ≥ 512, walk below; measured crossover, see
+        ``_make_knn_kernel``).  Bit-identical outputs either way.
 
     Returns:
       (sq_dists, idx): (b, m, k) ascending — same semantics as
@@ -339,6 +392,18 @@ def knn_pallas(
     c_pad = _round_up(max(c, 128), 128)
     k_pad = _round_up(max(k, 128), 128)
     tile_m = min(tile_m, _round_up(max(m, 8), 8))
+    if variant == "auto":
+        # measured (scripts/profile_r3n{,2}.py): maskout wins at every
+        # n_pad ≥ 512 shape tried, including k=1; walk wins at n_pad=256
+        # (3.68 vs 4.36 ms at (64,256,k17)) where the upfront tile copy
+        # is not amortized
+        variant = "maskout" if n_pad >= 512 else "walk"
+    if variant == "maskout":
+        # the maskout kernel holds TWO (tile_m, n_pad) f32 tiles (the
+        # computed distances + the rewritable scratch); cap their sum at
+        # ~12 MiB of the 16 MiB scoped VMEM (tile_m=512 @ n=4096 OOMs)
+        cap = max(8, (12 * 2**20) // (8 * n_pad) // 8 * 8)
+        tile_m = min(tile_m, cap)
     m_pad = _round_up(max(m, tile_m), tile_m)
 
     pts = jnp.zeros((b, n_pad, c_pad), jnp.float32)
@@ -353,7 +418,7 @@ def knn_pallas(
 
     grid = (b, m_pad // tile_m)
     idx_out, dist_out = pl.pallas_call(
-        _make_knn_kernel(k),
+        _make_knn_kernel(k, variant),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
@@ -373,6 +438,10 @@ def knn_pallas(
             jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
             jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32),
         ],
+        scratch_shapes=(
+            [pltpu.VMEM((tile_m, n_pad), jnp.float32)]
+            if variant == "maskout" else []
+        ),
         interpret=interpret,
     )(pts, qs, bias)
     return dist_out[:, :m, :k], idx_out[:, :m, :k]

@@ -128,6 +128,39 @@ class TestKnnPallas:
             np.asarray(d_got), np.asarray(d_ref), atol=1e-5
         )
 
+    def test_selection_variants_bit_identical(self):
+        """'maskout' (min + sentinel knockout) and 'walk' (threshold scan)
+        must realize the same lexicographic (value, lane) order —
+        bit-identical indices AND distances, ties, bias and padding
+        included."""
+        from dispu_tpu.ops.knn import mask_duplicate_rows
+        from dispu_tpu.ops.pallas_kernels import knn_pallas
+
+        rng = np.random.RandomState(7)
+        for trial in range(6):
+            b = int(rng.randint(1, 3))
+            n = int(rng.randint(8, 350))
+            m = int(rng.randint(3, 200))
+            k = int(rng.randint(1, min(n, 24) + 1))
+            c = int(rng.choice([3, 24]))
+            # quantized coords force exact distance ties
+            pts = np.round(rng.randn(b, n, c) * 2).astype(np.float32) / 2
+            qs = np.round(rng.randn(b, m, c) * 2).astype(np.float32) / 2
+            bias = None
+            if trial % 2:
+                bias = mask_duplicate_rows(
+                    jnp.asarray(pts)).astype(jnp.float32) * 1e30
+            d_w, i_w = knn_pallas(k, jnp.asarray(pts), jnp.asarray(qs),
+                                  bias, interpret=True, variant="walk")
+            d_m, i_m = knn_pallas(k, jnp.asarray(pts), jnp.asarray(qs),
+                                  bias, interpret=True, variant="maskout")
+            np.testing.assert_array_equal(
+                np.asarray(i_w), np.asarray(i_m),
+                err_msg=f"idx trial {trial} b={b} n={n} m={m} k={k} c={c}")
+            np.testing.assert_array_equal(
+                np.asarray(d_w), np.asarray(d_m),
+                err_msg=f"dist trial {trial}")
+
     def test_unique_bias_excludes_duplicates(self, rng):
         from dispu_tpu.ops.knn import mask_duplicate_rows
         from dispu_tpu.ops.pallas_kernels import knn_pallas
