@@ -40,6 +40,12 @@ class GeneratorConfig:
     # one-hot MXU feature gathers (bf16-rounded values):
     fast_gather: bool = False           # refiner only — output dev ≤2e-4
     fast_gather_backbone: bool = False  # + backbone — dev ~1e-2, fastest
+    # packed-key turbo kNN selection (refiner xyz kNN + backbone feature
+    # kNN): near-ties whose distances agree in the top 32−lane_bits bits
+    # resolve by lane index — neighbor SETS deviate only on those
+    # sub-5e-4-relative ties; exact selection stays the default
+    # (see ops.knn.knn / pallas_kernels.knn_pallas 'packed')
+    fast_knn: bool = False
     # exact-path neighborhood gather: 'onehot_hp' (one-hot MXU contraction
     # at precision=HIGHEST — bit-identical to the native gather, verified
     # on-chip by bench.parity_guard; 1587→1983 patches/sec inference,

@@ -53,6 +53,7 @@ class DisPUGenerator(nn.Module):
             k=cfg.knn,
             gather_impl=("onehot" if cfg.fast_gather_backbone
                          else cfg.gather_impl),
+            knn_variant="packed" if cfg.fast_knn else "auto",
             name="feature_extraction_coarse",
             **kw,
         )(inputs, train)
@@ -93,6 +94,7 @@ class DisPUGenerator(nn.Module):
             use_nonlocal=cfg.use_nonlocal,
             use_local=cfg.use_local,
             gather_impl="onehot" if cfg.fast_gather else cfg.gather_impl,
+            knn_variant="packed" if cfg.fast_knn else "auto",
             dtype=self.dtype,
             name="PointShuffle",
         )(coarse, fine_feat, train)

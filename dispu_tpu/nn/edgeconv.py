@@ -25,6 +25,7 @@ def edge_feature(
     k: int,
     idx: Optional[jnp.ndarray] = None,
     gather_impl: str = "gather",
+    knn_variant: str = "auto",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-edge tensor [center, neighbor − center].
 
@@ -40,7 +41,7 @@ def edge_feature(
     duplicates masked (unique=True), self/first column dropped.
     """
     if idx is None:
-        nbr = knn_unique_indices(k + 1, feature, feature)
+        nbr = knn_unique_indices(k + 1, feature, feature, variant=knn_variant)
         idx = nbr[:, :, 1:]
     neighbors = group_point(feature, idx, impl=gather_impl)
     center = jnp.broadcast_to(
@@ -77,6 +78,7 @@ class DenseEdgeBlock(nn.Module):
     bn_momentum: float = 0.95
     gather_impl: str = "gather"  # see ops.grouping.group_point impls
     variant: str = "default"
+    knn_variant: str = "auto"  # 'packed' = turbo selection (ops.knn.knn)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -87,7 +89,8 @@ class DenseEdgeBlock(nn.Module):
         idx: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         y, idx = edge_feature(
-            feature, self.k, idx, gather_impl=self.gather_impl
+            feature, self.k, idx, gather_impl=self.gather_impl,
+            knn_variant=self.knn_variant,
         )
         for i in range(self.n):
             last_linear = self.variant != "v2" and i == self.n - 1
@@ -155,6 +158,7 @@ class FeatureExtractorGCN(nn.Module):
     use_bn: bool = False
     bn_momentum: float = 0.95
     gather_impl: str = "gather"  # see ops.grouping.group_point impls
+    knn_variant: str = "auto"  # 'packed' = turbo selection (ops.knn.knn)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -163,7 +167,9 @@ class FeatureExtractorGCN(nn.Module):
         kw = dict(
             use_bn=self.use_bn, bn_momentum=self.bn_momentum, dtype=self.dtype
         )
-        bkw = dict(gather_impl=self.gather_impl, **kw)
+        bkw = dict(
+            gather_impl=self.gather_impl, knn_variant=self.knn_variant, **kw
+        )
         feat = PointConv(24, activation=None, name="layer0", **kw)(xyz, train)
         out, _ = DenseEdgeBlock(
             self.growth_rate, self.dense_n, self.k, name="layer1", **bkw

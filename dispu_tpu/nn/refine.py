@@ -49,6 +49,8 @@ class PointShuffle2(nn.Module):
     # feature-gather impl: 'gather' | 'onehot' (bf16 MXU) | 'onehot_hp' |
     # 'pallas' (bit-exact MXU, see ops.grouping.group_point)
     gather_impl: str = "gather"
+    # xyz-kNN selection: 'auto' (exact) | 'packed' (turbo — see ops.knn.knn)
+    knn_variant: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -65,6 +67,7 @@ class PointShuffle2(nn.Module):
             feature, k, xyz, xyz, use_xyz=True, use_knn=self.use_knn,
             radius=self.radius if self.radius is not None else 0.2,
             gather_impl=self.gather_impl,
+            knn_variant=self.knn_variant,
         )
         centered = grouped_xyz - xyz[:, :, None, :]
         grouped_feat = jnp.concatenate([centered, grouped_feat], axis=-1)

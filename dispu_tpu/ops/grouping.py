@@ -212,6 +212,7 @@ def grouping(
     use_knn: bool = True,
     radius: float = 0.2,
     gather_impl: str = "gather",
+    knn_variant: str = "auto",
 ):
     """kNN (or ball) neighborhoods of query points, with gathered features.
 
@@ -234,7 +235,7 @@ def grouping(
     indices, which is the evident intent.
     """
     if use_knn:
-        idx = knn_indices(k, src_xyz, q_xyz)
+        idx = knn_indices(k, src_xyz, q_xyz, variant=knn_variant)
     else:
         idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
     if gather_impl != "onehot":

@@ -59,7 +59,13 @@ def _use_pallas(impl: str, points: jnp.ndarray, k: int) -> bool:
     )
 
 
-def knn(k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"):
+def knn(
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    impl: str = "auto",
+    variant: str = "auto",
+):
     """Exact kNN by squared euclidean distance.
 
     Args:
@@ -68,6 +74,10 @@ def knn(k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"):
       queries: (..., n, c) query points.
       impl: 'auto' (fused Pallas kernel on TPU when shapes fit, XLA top_k
         otherwise), 'xla', or 'pallas'.
+      variant: Pallas selection variant — 'auto' (exact) or 'packed' (the
+        TURBO selection: near-ties whose distances agree in the top
+        32−lane_bits bits resolve by index, distances truncated; see
+        ``pallas_kernels.knn_pallas``).  Ignored on the XLA path (exact).
 
     Returns:
       (sq_dists, idx): (..., n, k) float32 squared distances (ascending) and
@@ -83,14 +93,20 @@ def knn(k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"):
         from dispu_tpu.ops.pallas_kernels import knn_pallas_diff
 
         zero_bias = jnp.zeros(points.shape[:-1], jnp.float32)
-        return knn_pallas_diff(k, points, queries, zero_bias)
+        return knn_pallas_diff(
+            k, points, queries, zero_bias, variant=variant
+        )
     d = pairwise_sq_dist(queries, points)
     neg, idx = jax.lax.top_k(-d, k)
     return -neg, idx
 
 
 def knn_indices(
-    k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    impl: str = "auto",
+    variant: str = "auto",
 ) -> jnp.ndarray:
     """Neighbor indices only, with input tangents stopped.
 
@@ -106,12 +122,17 @@ def knn_indices(
         jax.lax.stop_gradient(points),
         jax.lax.stop_gradient(queries),
         impl,
+        variant,
     )
     return idx
 
 
 def knn_unique_indices(
-    k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    impl: str = "auto",
+    variant: str = "auto",
 ) -> jnp.ndarray:
     """`knn_unique` indices only, input tangents stopped (see knn_indices)."""
     _, idx = knn_unique(
@@ -119,12 +140,17 @@ def knn_unique_indices(
         jax.lax.stop_gradient(points),
         jax.lax.stop_gradient(queries),
         impl,
+        variant,
     )
     return idx
 
 
 def knn_unique(
-    k: int, points: jnp.ndarray, queries: jnp.ndarray, impl: str = "auto"
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    impl: str = "auto",
+    variant: str = "auto",
 ):
     """kNN where duplicated dataset rows are pushed to the end of the order.
 
@@ -142,7 +168,8 @@ def knn_unique(
         # constant large bias: selection below k never reaches biased
         # columns unless fewer than k distinct points exist
         return knn_pallas_diff(
-            k, points, queries, dup.astype(jnp.float32) * 1e30
+            k, points, queries, dup.astype(jnp.float32) * 1e30,
+            variant=variant,
         )
     d = pairwise_sq_dist(queries, points)
     bias = jnp.max(d, axis=(-1, -2), keepdims=True)

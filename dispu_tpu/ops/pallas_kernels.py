@@ -286,8 +286,6 @@ def _make_knn_kernel(k: int, variant: str = "maskout"):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
         lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, k_pad), 1)
-        idx_ref[0] = jnp.zeros((tm, k_pad), jnp.int32)
-        dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
 
         # INVARIANT (load-bearing, both variants): every entry of d must
         # be FINITE and < _KNN_SENTINEL.  The walk advances past an equal
@@ -298,6 +296,68 @@ def _make_knn_kernel(k: int, variant: str = "maskout"):
         # lanes with the sentinel — a real distance at or above it would
         # tie with consumed lanes.  Padded columns therefore use a finite
         # 1e30 bias, never inf — keep it that way.
+        if variant == "packed":
+            # TURBO selection (documented value deviation — see
+            # ``knn_pallas``): each lane's key is one sortable int32 —
+            # the f32 distance's bit pattern (monotone under int compare
+            # for non-negative floats) with its low ``lb`` mantissa bits
+            # replaced by the lane index.  Keys are therefore DISTINCT,
+            # so the k smallest keys ascending ARE the selection sequence
+            # and each round is a single threshold-min pass (compare +
+            # select + min ≈ 3 elementwise passes vs maskout's ~6): no
+            # argmin pass, no knockout write, no scratch tile.  Ranking
+            # is lexicographic (distance-truncated-to-high-bits, lane):
+            # lanes whose distances agree in the top 32-lb bits order by
+            # lane index, and returned distances are the truncated keys.
+            lb = max(1, (n_pad - 1).bit_length())
+            lmask = jnp.int32((1 << lb) - 1)
+            bits = jax.lax.bitcast_convert_type(d, jnp.int32)  # d >= 0
+            keys = jnp.bitwise_or(jnp.bitwise_and(bits, ~lmask), lane)
+            imax = jnp.int32(0x7FFFFFFF)
+            idx_acc = jnp.zeros((tm, k_pad), jnp.int32)
+            dist_acc = jnp.zeros((tm, k_pad), jnp.float32)
+            t = jnp.full((tm, 1), -1, jnp.int32)  # every key is >= 0
+            for j in range(k):
+                t = jnp.min(jnp.where(keys > t, keys, imax),
+                            axis=1, keepdims=True)
+                idx_acc = jnp.where(
+                    lane_k == j, jnp.bitwise_and(t, lmask), idx_acc)
+                dist_acc = jnp.where(
+                    lane_k == j,
+                    jax.lax.bitcast_convert_type(
+                        jnp.bitwise_and(t, ~lmask), jnp.float32),
+                    dist_acc)
+            idx_ref[0] = idx_acc
+            dist_ref[0] = dist_acc
+            return
+
+        if variant == "unroll":
+            # statically-unrolled mask-out: the tile stays an SSA value
+            # across all k rounds — no scratch ref and no per-round VMEM
+            # load; the knockout chains through whatever temporaries
+            # Mosaic schedules.  Selection order identical to the other
+            # two variants (lexicographic (value, lane) min among
+            # unconsumed lanes).  Outputs accumulate in (tm, k_pad)
+            # values and hit the refs once.
+            dc = d
+            idx_acc = jnp.zeros((tm, k_pad), jnp.int32)
+            dist_acc = jnp.zeros((tm, k_pad), jnp.float32)
+            for j in range(k):
+                mv2 = jnp.min(dc, axis=1, keepdims=True)
+                sel2 = jnp.min(
+                    jnp.where(dc == mv2, lane, n_pad),
+                    axis=1, keepdims=True,
+                )
+                idx_acc = jnp.where(lane_k == j, sel2, idx_acc)
+                dist_acc = jnp.where(lane_k == j, mv2, dist_acc)
+                if j + 1 < k:
+                    dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
+            idx_ref[0] = idx_acc
+            dist_ref[0] = dist_acc
+            return
+
+        idx_ref[0] = jnp.zeros((tm, k_pad), jnp.int32)
+        dist_ref[0] = jnp.zeros((tm, k_pad), jnp.float32)
         if variant == "maskout":
             # min + first-lane argmin over the live tile, then knock the
             # selected lane out by overwriting its distance with the
@@ -378,9 +438,18 @@ def knn_pallas(
       column_bias: optional (b, n) additive bias on the distance columns
         (used for duplicate masking — biased columns sort last).
       tile_m: query rows per grid step.
-      variant: selection formulation — 'maskout', 'walk', or 'auto'
-        (maskout for n_pad ≥ 512, walk below; measured crossover, see
-        ``_make_knn_kernel``).  Bit-identical outputs either way.
+      variant: selection formulation — 'maskout', 'walk', 'unroll', or
+        'auto' (maskout for n_pad ≥ 512, walk below; measured crossover,
+        see ``_make_knn_kernel``).  Bit-identical outputs for all of
+        these.  'packed' is the TURBO variant: selection ranks one
+        sortable int32 key per lane (f32 distance bits with the low
+        ``ceil(log2(n_pad))`` mantissa bits replaced by the lane index),
+        so near-ties whose distances agree in the remaining high bits
+        resolve by lane index instead of exact value, and the returned
+        distances are truncated to those high bits (relative error
+        ≤ 2^-(23-lane_bits), ~5e-4 at n=4096 — far below the bf16 turbo
+        gather's 2^-8).  Exact callers must not use it; the indices-only
+        turbo consumers (grouping) may.
 
     Returns:
       (sq_dists, idx): (b, m, k) ascending — same semantics as
@@ -398,10 +467,12 @@ def knn_pallas(
         # (3.68 vs 4.36 ms at (64,256,k17)) where the upfront tile copy
         # is not amortized
         variant = "maskout" if n_pad >= 512 else "walk"
-    if variant == "maskout":
-        # the maskout kernel holds TWO (tile_m, n_pad) f32 tiles (the
-        # computed distances + the rewritable scratch); cap their sum at
-        # ~12 MiB of the 16 MiB scoped VMEM (tile_m=512 @ n=4096 OOMs)
+    if variant in ("maskout", "unroll", "packed"):
+        # these forms hold TWO (tile_m, n_pad) 4-byte tiles live
+        # (maskout: distances + the rewritable scratch; unroll: the SSA
+        # knockout chain double-buffers; packed: distances + int32 keys);
+        # cap their sum at ~12 MiB of the 16 MiB scoped VMEM
+        # (tile_m=512 @ n=4096 OOMs)
         cap = max(8, (12 * 2**20) // (8 * n_pad) // 8 * 8)
         tile_m = min(tile_m, cap)
     m_pad = _round_up(max(m, tile_m), tile_m)
@@ -928,13 +999,14 @@ def _gather_rows_bwd(tile_q, interpret, res, g):
 gather_rows_pallas_diff.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
 def knn_pallas_diff(
     k: int,
     points: jnp.ndarray,
     queries: jnp.ndarray,
     column_bias: jnp.ndarray,
     interpret: bool = False,
+    variant: str = "auto",
 ):
     """Differentiable wrapper around ``knn_pallas``.
 
@@ -952,15 +1024,18 @@ def knn_pallas_diff(
         column_bias,
         256,
         interpret,
+        variant,
     )
 
 
-def _knn_diff_fwd(k, points, queries, column_bias, interpret):
-    dist, idx = knn_pallas_diff(k, points, queries, column_bias, interpret)
+def _knn_diff_fwd(k, points, queries, column_bias, interpret, variant):
+    dist, idx = knn_pallas_diff(
+        k, points, queries, column_bias, interpret, variant
+    )
     return (dist, idx), (points, queries, idx)
 
 
-def _knn_diff_bwd(k, interpret, res, cotangents):
+def _knn_diff_bwd(k, interpret, variant, res, cotangents):
     points, queries, idx = res
     g_dist, _ = cotangents
     neighbors = jax.vmap(lambda p, i: p[i])(points, idx)

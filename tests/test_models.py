@@ -27,6 +27,20 @@ class TestGenerator:
         assert coarse.shape == (2, 256, 3)
         assert fine.shape == (2, 256, 3)
 
+    def test_fast_knn_plumbing(self, gen_setup):
+        """``fast_knn=True`` routes the packed turbo selection into the
+        backbone + refiner kNNs; off-TPU the kNN falls back to the exact
+        XLA path (variant ignored), so outputs must be bit-identical —
+        this pins the config plumbing, the kernel deviation is pinned by
+        tests/test_pallas.py::test_packed_turbo_variant."""
+        import dataclasses
+
+        model, variables, x = gen_setup
+        fast = DisPUGenerator(cfg=dataclasses.replace(TINY, fast_knn=True))
+        a = model.apply(variables, x, train=False)
+        b = fast.apply(variables, x, train=False)
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
     def test_backbone_channel_math(self, gen_setup):
         # the DenseGCN feature before upsampling must be 480-ch for the
         # default config (ref:Common/ops.py:1458-1482 channel comments)

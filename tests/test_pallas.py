@@ -129,10 +129,10 @@ class TestKnnPallas:
         )
 
     def test_selection_variants_bit_identical(self):
-        """'maskout' (min + sentinel knockout) and 'walk' (threshold scan)
-        must realize the same lexicographic (value, lane) order —
-        bit-identical indices AND distances, ties, bias and padding
-        included."""
+        """'maskout' (min + sentinel knockout), 'walk' (threshold scan)
+        and 'unroll' (static SSA knockout chain) must realize the same
+        lexicographic (value, lane) order — bit-identical indices AND
+        distances, ties, bias and padding included."""
         from dispu_tpu.ops.knn import mask_duplicate_rows
         from dispu_tpu.ops.pallas_kernels import knn_pallas
 
@@ -152,14 +152,39 @@ class TestKnnPallas:
                     jnp.asarray(pts)).astype(jnp.float32) * 1e30
             d_w, i_w = knn_pallas(k, jnp.asarray(pts), jnp.asarray(qs),
                                   bias, interpret=True, variant="walk")
-            d_m, i_m = knn_pallas(k, jnp.asarray(pts), jnp.asarray(qs),
-                                  bias, interpret=True, variant="maskout")
-            np.testing.assert_array_equal(
-                np.asarray(i_w), np.asarray(i_m),
-                err_msg=f"idx trial {trial} b={b} n={n} m={m} k={k} c={c}")
-            np.testing.assert_array_equal(
-                np.asarray(d_w), np.asarray(d_m),
-                err_msg=f"dist trial {trial}")
+            for variant in ("maskout", "unroll"):
+                d_m, i_m = knn_pallas(k, jnp.asarray(pts), jnp.asarray(qs),
+                                      bias, interpret=True, variant=variant)
+                np.testing.assert_array_equal(
+                    np.asarray(i_w), np.asarray(i_m),
+                    err_msg=(f"idx trial {trial} b={b} n={n} m={m} k={k} "
+                             f"c={c} variant={variant}"))
+                np.testing.assert_array_equal(
+                    np.asarray(d_w), np.asarray(d_m),
+                    err_msg=f"dist trial {trial} variant={variant}")
+
+    def test_packed_turbo_variant(self, rng):
+        """'packed' (turbo) ranks by (truncated distance bits, lane).
+
+        On generic random clouds no two distances agree in the top
+        32-lane_bits bits, so indices must equal the exact variants';
+        distances are the keys truncated to those bits (relative error
+        ≤ 2^-(23-lane_bits)).  Exact ties (duplicate points) must still
+        resolve by lane order like the exact variants."""
+        from dispu_tpu.ops.pallas_kernels import knn_pallas
+
+        pts = np.asarray(rng.randn(2, 300, 3), np.float32)
+        pts[0, 7] = pts[0, 3]  # exact duplicate → exact distance tie
+        qs = np.asarray(rng.randn(2, 120, 3), np.float32)
+        d_e, i_e = knn_pallas(9, jnp.asarray(pts), jnp.asarray(qs),
+                              interpret=True, variant="maskout")
+        d_p, i_p = knn_pallas(9, jnp.asarray(pts), jnp.asarray(qs),
+                              interpret=True, variant="packed")
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_e))
+        # n_pad=384 → lane_bits=9 → rel err ≤ 2^-14; dist truncates down
+        d_e, d_p = np.asarray(d_e), np.asarray(d_p)
+        assert np.all(d_p <= d_e + 1e-30)
+        np.testing.assert_allclose(d_p, d_e, rtol=2.0**-13, atol=1e-6)
 
     def test_unique_bias_excludes_duplicates(self, rng):
         from dispu_tpu.ops.knn import mask_duplicate_rows
