@@ -27,6 +27,63 @@ from dispu_tpu.ops.sampling import farthest_point_sample, gather_point
 _leaky = functools.partial(nn.leaky_relu, negative_slope=0.2)  # tf default
 
 
+def paired_neighborhoods(
+    cfg: DiscriminatorConfig, gt: jnp.ndarray, pred: jnp.ndarray
+):
+    """The critic's parameter-free geometry, factored out of the module.
+
+    Returns ``(seeds, [(grouped_gt, grouped_pred), ...])`` — FPS seeds on
+    the gt cloud and, per scale, both clouds' seed-centered neighborhoods —
+    exactly the tensors ``PairedMSGModule`` computes internally.  The GAN
+    step calls the critic twice per batch (D update, then G update against
+    the updated critic, ref:DisPU/model_gan.py:299-309) on the SAME
+    ``(gt, pred)`` values; computing this once and passing it via the
+    modules' ``groups`` argument removes the duplicated FPS + 2·3-scale
+    kNN + gathers (the values are bit-identical — selection indices carry
+    no parameters and no gradients).
+    """
+    groups, _ = paired_neighborhoods_with_pred_indices(cfg, gt, pred)
+    return groups
+
+
+def paired_neighborhoods_with_pred_indices(
+    cfg: DiscriminatorConfig, gt: jnp.ndarray, pred: jnp.ndarray
+):
+    """As :func:`paired_neighborhoods`, also returning the per-scale pred
+    neighbor indices so a caller can re-gather from a differentiable copy
+    of ``pred`` via :func:`regather_pred` (selection indices are
+    gradient-stopped by construction — ``knn_indices`` — so fixing them
+    and re-running only the gather reproduces the same gradients)."""
+    npoint = gt.shape[1] // cfg.downsample_ratio
+    seeds = gather_point(gt, farthest_point_sample(npoint, gt))
+
+    def neighbor_idx(cloud, nsample, radius):
+        if cfg.knn:
+            return knn_indices(nsample, cloud, seeds)
+        return query_ball_point(radius, nsample, cloud, seeds)[0]
+
+    per_scale, pred_idx = [], []
+    for radius, nsample in zip(cfg.radius_list, cfg.nsample_list):
+        idx_gt = neighbor_idx(gt, nsample, radius)
+        g_gt = group_point(gt, idx_gt) - seeds[:, :, None, :]
+        idx_p = neighbor_idx(pred, nsample, radius)
+        g_pred = group_point(pred, idx_p) - seeds[:, :, None, :]
+        per_scale.append((g_gt, g_pred))
+        pred_idx.append(idx_p)
+    return (seeds, per_scale), pred_idx
+
+
+def regather_pred(groups, pred_idx, pred: jnp.ndarray):
+    """Rebuild ``groups`` with the pred neighborhoods gathered from a
+    (differentiable) ``pred`` using fixed indices; gt halves are reused."""
+    seeds, per_scale = groups
+    rebuilt = [
+        (g_gt, group_point(pred, idx) - seeds[:, :, None, :])
+        for (g_gt, _), idx in zip(per_scale, pred_idx)
+    ]
+    return seeds, rebuilt
+
+
 class PairedMSGModule(nn.Module):
     """Multi-scale paired (gt, pred) set abstraction around shared seeds.
 
@@ -43,27 +100,19 @@ class PairedMSGModule(nn.Module):
 
     @nn.compact
     def __call__(
-        self, gt: jnp.ndarray, pred: jnp.ndarray, train: bool = False
+        self, gt: jnp.ndarray, pred: jnp.ndarray, train: bool = False,
+        groups=None,
     ):
         cfg = self.cfg
-        npoint = gt.shape[1] // cfg.downsample_ratio
-        seeds = gather_point(gt, farthest_point_sample(npoint, gt))
-
-        def grouped(cloud, nsample, radius):
-            if cfg.knn:
-                idx = knn_indices(nsample, cloud, seeds)
-            else:
-                idx, _ = query_ball_point(radius, nsample, cloud, seeds)
-            return group_point(cloud, idx) - seeds[:, :, None, :]
+        if groups is None:
+            groups = paired_neighborhoods(cfg, gt, pred)
+        seeds, per_scale = groups
 
         scale_feats = []
-        for i, (radius, nsample, mlps) in enumerate(
-            zip(cfg.radius_list, cfg.nsample_list, cfg.mlp_lists)
+        for i, ((g_gt, g_pred), nsample, mlps) in enumerate(
+            zip(per_scale, cfg.nsample_list, cfg.mlp_lists)
         ):
-            g = jnp.concatenate(
-                [grouped(gt, nsample, radius), grouped(pred, nsample, radius)],
-                axis=2,
-            )  # (b, np, 2*ns, 3)
+            g = jnp.concatenate([g_gt, g_pred], axis=2)  # (b, np, 2*ns, 3)
             for j, c in enumerate(mlps):
                 g = PointConv(
                     c, activation=_leaky, dtype=self.dtype, name=f"conv{i}_{j}"
@@ -94,11 +143,12 @@ class PatchDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(
-        self, pred: jnp.ndarray, gt: jnp.ndarray, train: bool = False
+        self, pred: jnp.ndarray, gt: jnp.ndarray, train: bool = False,
+        groups=None,
     ) -> jnp.ndarray:
         _, feats = PairedMSGModule(
             cfg=self.cfg, fused=False, dtype=self.dtype, name="layer1"
-        )(gt, pred, train)
+        )(gt, pred, train, groups=groups)
         values = PointConv(
             1, activation=None, dtype=self.dtype, name="patch"
         )(feats, train)

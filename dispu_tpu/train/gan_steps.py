@@ -22,7 +22,12 @@ round-trips between the updates; the generator runs its forward exactly
 ONCE per step — the primal feeds the D update (gradient stopped) and its
 ``jax.vjp`` closes the G update's chain rule (round 2 relied on XLA CSE
 to merge two structurally separate forwards; profiled on chip, CSE did
-not fire and the step carried a full extra forward).
+not fire and the step carried a full extra forward).  The critic's
+parameter-free geometry (FPS seeds, 3-scale kNN, gt gathers) is likewise
+computed once and shared by the D and G passes — only the pred
+neighborhoods are re-gathered from the differentiable ``fine`` (same
+indices, so same values and gradients; pinned by
+tests/test_gan.py::test_shared_geometry_step_equivalence).
 
 Critic-health metrics are part of the step contract: ``d_gap``
 (mean D(real) − mean D(fake)), ``d_var`` (output variance), and
@@ -46,7 +51,12 @@ import jax.numpy as jnp
 from dispu_tpu import losses as L
 from dispu_tpu.config import ExperimentConfig
 from dispu_tpu.data.augment import augment_batch, sample_nonuniform_inputs
-from dispu_tpu.models.discriminator import PatchDiscriminator, split_real_fake
+from dispu_tpu.models.discriminator import (
+    PatchDiscriminator,
+    paired_neighborhoods_with_pred_indices,
+    regather_pred,
+    split_real_fake,
+)
 from dispu_tpu.models.generator import DisPUGenerator
 from dispu_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from dispu_tpu.train.state import GeneratorState, adam_transform
@@ -157,8 +167,21 @@ def make_gan_train_step(
         )
         fine0 = jax.lax.stop_gradient(fine)
 
+        # The critic geometry (FPS seeds + per-scale kNN + gathers) is a
+        # function of (gt_aug, fine-values) only — identical for the D
+        # pass and the G pass below (fine0 ≡ fine by value; the critic
+        # params play no part in it).  Compute it ONCE; the G pass only
+        # re-gathers the pred neighborhoods from the differentiable
+        # ``fine`` with the same fixed indices (bit-identical values,
+        # identical gradients — indices are gradient-stopped selections).
+        d_groups, pred_idx = paired_neighborhoods_with_pred_indices(
+            cfg.discriminator, gt_aug, fine0
+        )
+
         def d_loss_fn(d_params):
-            values = disc_model.apply({"params": d_params}, fine0, gt_aug)
+            values = disc_model.apply(
+                {"params": d_params}, fine0, gt_aug, groups=d_groups
+            )
             real, fake = split_real_fake(values)
             # real/fake separation diagnostics: a healthy critic keeps
             # d_gap = mean(real) − mean(fake) positive and the outputs
@@ -210,7 +233,10 @@ def make_gan_train_step(
             pu_total, metrics = L.pu_losses(
                 coarse, fine, gt_aug, radius, weight_fine, cfg.loss
             )
-            values = disc_model.apply({"params": d_params}, fine, gt_aug)
+            values = disc_model.apply(
+                {"params": d_params}, fine, gt_aug,
+                groups=regather_pred(d_groups, pred_idx, fine),
+            )
             _, fake = split_real_fake(values)
             g_gan = L.generator_loss(fake)
             total = pu_total + g_gan

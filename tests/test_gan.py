@@ -67,6 +67,47 @@ class TestGANStep:
         assert max_diff(gan_state.d_params, new_state.d_params) > 0
 
 
+def test_shared_geometry_step_equivalence(rng):
+    """The critic's hoisted geometry (``groups=``) must be a pure
+    refactor: bit-identical forward values, and identical pred-gradients
+    when the G pass re-gathers from a differentiable pred with the fixed
+    indices (``regather_pred``) instead of recomputing the kNN."""
+    from dispu_tpu.models.discriminator import (
+        PatchDiscriminator,
+        paired_neighborhoods_with_pred_indices,
+        regather_pred,
+        split_real_fake,
+    )
+
+    dcfg = DiscriminatorConfig()
+    disc = PatchDiscriminator(cfg=dcfg)
+    gt = jnp.asarray(rng.randn(3, 128, 3), jnp.float32)
+    pred = jnp.asarray(rng.randn(3, 128, 3), jnp.float32)
+    variables = disc.init(jax.random.PRNGKey(3), pred, gt)
+
+    plain = disc.apply(variables, pred, gt)
+    groups, pred_idx = paired_neighborhoods_with_pred_indices(dcfg, gt, pred)
+    shared = disc.apply(variables, pred, gt, groups=groups)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(shared))
+
+    def g_plain(p):
+        _, fake = split_real_fake(disc.apply(variables, p, gt))
+        return jnp.mean(fake**2)
+
+    def g_shared(p):
+        vals = disc.apply(
+            variables, p, gt, groups=regather_pred(groups, pred_idx, p)
+        )
+        _, fake = split_real_fake(vals)
+        return jnp.mean(fake**2)
+
+    ga = jax.grad(g_plain)(pred)
+    gb = jax.grad(g_shared)(pred)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), rtol=1e-6, atol=1e-8
+    )
+
+
 def test_shared_forward_grads(rng):
     """The shared-forward structure (one jax.vjp pullback) must produce
     the same generator update as differentiating the full composition
