@@ -29,7 +29,8 @@ def str2bool(x: str) -> bool:
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--phase", default="train", choices=["train", "test"])
+    p.add_argument("--phase", default="train",
+                   choices=["train", "test", "export"])
     p.add_argument("--log_dir", default="log")
     p.add_argument("--data_dir", default="data")
     p.add_argument("--test_data", default="data/test/*.xyz")
@@ -90,6 +91,10 @@ def parse_args():
     )
     p.add_argument("--epochs", type=int, default=None,
                    help="override training_epoch (smoke runs)")
+    p.add_argument("--export_sizes", type=int, nargs="+", default=None,
+                   help="input point counts to compile into the serving "
+                        "artifact (--phase export); defaults to the sizes "
+                        "of the --test_data files")
     return p.parse_args()
 
 
@@ -178,16 +183,14 @@ def run_train(args, cfg):
         )
 
 
-def run_test(args, cfg):
-    """Whole-cloud upsampling over the test glob.
+def restore_generator_variables(cfg):
+    """Newest checkpoint in the log dir → generator variables dict.
 
-    Parity: ref:DisPU/model.py:343-381 — restore newest checkpoint, per
-    file: load, normalize, patch-predict, merge, FPS, save '<name>_X{r}.xyz'.
+    Parity: ref:DisPU/model.py:344-358 — a GAN-trained log dir restores
+    only the generator scope.
     """
     import jax
 
-    from dispu_tpu.evaluation.meshio import read_xyz, write_xyz
-    from dispu_tpu.inference import PatchUpsampler
     from dispu_tpu.train.state import create_generator_state
     from dispu_tpu.utils.checkpoint import latest_checkpoint, restore_checkpoint
 
@@ -210,11 +213,23 @@ def run_test(args, cfg):
         gan_template = create_gan_state(jax.random.PRNGKey(0), cfg)
         state = restore_checkpoint(path, gan_template).gen
         logging.info("restored the generator half of a GAN checkpoint")
+    return {"params": state.params, "batch_stats": state.batch_stats}
 
+
+def run_test(args, cfg):
+    """Whole-cloud upsampling over the test glob.
+
+    Parity: ref:DisPU/model.py:343-381 — restore newest checkpoint, per
+    file: load, normalize, patch-predict, merge, FPS, save '<name>_X{r}.xyz'.
+    """
+    from dispu_tpu.evaluation.meshio import read_xyz, write_xyz
+    from dispu_tpu.inference import PatchUpsampler
+
+    variables = restore_generator_variables(cfg)
     out_folder = args.out_folder or os.path.join(cfg.log_dir, "outputs")
     os.makedirs(out_folder, exist_ok=True)
     upsampler = PatchUpsampler(
-        {"params": state.params, "batch_stats": state.batch_stats},
+        variables,
         gen_cfg=cfg.generator,
         inf_cfg=cfg.inference,
     )
@@ -230,12 +245,45 @@ def run_test(args, cfg):
         logging.info("wrote %s (%d points)", out_path, len(out))
 
 
+def run_export(args, cfg):
+    """Package the trained upsampler as an AOT serving artifact.
+
+    No reference analog (it ships the training repo to serve); see
+    dispu_tpu/serving.py.  Entry sizes come from --export_sizes or the
+    point counts of the --test_data files.
+    """
+    from dispu_tpu.evaluation.meshio import read_xyz
+    from dispu_tpu.serving import export_upsampler
+
+    sizes = args.export_sizes
+    if not sizes:
+        sizes = sorted(
+            {len(read_xyz(p)) for p in glob(args.test_data)}
+        )
+    if not sizes:
+        raise SystemExit(
+            "no input sizes: pass --export_sizes or a --test_data glob"
+        )
+    variables = restore_generator_variables(cfg)
+    out = args.out_folder or os.path.join(cfg.log_dir, "export")
+    manifest = export_upsampler(
+        variables, sizes=sizes, path=out,
+        gen_cfg=cfg.generator, inf_cfg=cfg.inference,
+    )
+    logging.info(
+        "exported %d entries (%s) to %s",
+        len(manifest["entries"]), sizes, out,
+    )
+
+
 def main():
     logging.basicConfig(level=logging.INFO)
     args = parse_args()
     cfg = build_config(args)
     if args.phase == "train":
         run_train(args, cfg)
+    elif args.phase == "export":
+        run_export(args, cfg)
     else:
         run_test(args, cfg)
 
