@@ -95,6 +95,10 @@ def parse_args():
                    help="input point counts to compile into the serving "
                         "artifact (--phase export); defaults to the sizes "
                         "of the --test_data files")
+    p.add_argument("--compile_cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory — "
+                        "restarts skip the 20-40s trace+compile of the "
+                        "train/inference programs")
     return p.parse_args()
 
 
@@ -276,9 +280,25 @@ def run_export(args, cfg):
     )
 
 
+def enable_compile_cache(path: str):
+    """Persistent XLA compilation cache (no reference analog — TF1
+    re-traced the graph every process).  Compiled executables are keyed
+    by program + compiler version and reloaded on restart."""
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything, including fast compiles — the tunnel round-trip
+    # and trace time dominate for small programs anyway
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
     logging.basicConfig(level=logging.INFO)
     args = parse_args()
+    if args.compile_cache:
+        enable_compile_cache(args.compile_cache)
     cfg = build_config(args)
     if args.phase == "train":
         run_train(args, cfg)

@@ -114,6 +114,25 @@ class TestExportedUpsampler:
         assert res.shape == (640, 3)
         assert np.isfinite(res).all()
 
+    def test_compile_cache_populates(self, tmp_path):
+        """`--compile_cache DIR` must wire the persistent XLA cache: a
+        fresh jit compile writes an entry into the directory."""
+        import jax
+        import jax.numpy as jnp
+
+        import dispu
+
+        cache = str(tmp_path / "xla_cache")
+        dispu.enable_compile_cache(cache)
+        try:
+            # a compile unlikely to collide with other tests' cache keys
+            jax.jit(lambda x: jnp.cumsum(x * 3.5) - x[::-1])(
+                jnp.arange(97, dtype=jnp.float32)
+            ).block_until_ready()
+            assert os.listdir(cache), "no cache entry written"
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)
+
     def test_wrong_kind_rejected(self, tmp_path):
         os.makedirs(tmp_path / "bogus", exist_ok=True)
         with open(tmp_path / "bogus" / "manifest.json", "w") as f:
