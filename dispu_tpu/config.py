@@ -149,10 +149,16 @@ class TrainConfig:
     # run steps_per_print steps per dispatch (lax.scan inside one jit with
     # on-device index slicing / RNG / metric accumulation).  Per-step
     # dispatch overhead otherwise ~doubles wall time on a remote-dispatch
-    # link (measured 82 ms wall vs 40.6 ms compute at b=28, round 2);
-    # single-device + device_data only — the mesh path keeps per-step
-    # dispatch.  Logging cadence is unchanged (one scalar fetch per chunk
-    # = per steps_per_print, exactly like the reference's print cadence).
+    # link (measured 82 ms wall vs 40.6 ms compute at b=28, round 2).
+    # Applies whenever the dataset is device-resident, mesh path included
+    # (sharding constraints inside the scan; equivalence pinned by
+    # tests/test_train.py::test_chunked_mesh_matches_single_device).
+    # Scalars/renders fire once per cadence boundary like the stepwise
+    # loop (at the boundary step itself when epoch length is a multiple
+    # of the chunk; otherwise at the enclosing chunk's final step); with
+    # --visulize on, the chunk aligns down to
+    # gcd(steps_per_print, steps_per_visu) so render boundaries land on
+    # chunk ends (see BaseTrainer._epoch_chunked).
     scan_steps: bool = True
 
 

@@ -211,10 +211,10 @@ def geodesic_distances(
 
     # --- (1b) rhombus shortcuts across each interior edge (vectorized:
     # the per-edge python loop cost ~11 s/mesh in tiny np.linalg.norm
-    # calls; this computes all unfoldings in a handful of array ops)
-    e_all = np.concatenate(
-        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]]
-    )
+    # calls; this computes all unfoldings in a handful of array ops).
+    # e_all is (1a)'s edge list, ordered so row i's opposite vertex is
+    # opp_all[i].
+    e_all = e
     opp_all = np.concatenate([faces[:, 2], faces[:, 0], faces[:, 1]])
     ekey = (
         np.minimum(e_all[:, 0], e_all[:, 1]) * np.int64(nv)

@@ -27,6 +27,20 @@ from dispu_tpu.ops.knn import knn
 from dispu_tpu.ops.sampling import farthest_point_sample
 
 
+def plan_counts(n: int, inf_cfg: InferenceConfig):
+    """(seed_num, out_num) for an ``n``-point input cloud.
+
+    The single source of the patch-coverage formula
+    (ref:DisPU/model.py:318-321 — seeds = n / patch_size · oversample
+    ratio); shared by live inference and the AOT export (serving.py) so
+    the two can never diverge.
+    """
+    seed_num = max(
+        int(n / inf_cfg.patch_num_point * inf_cfg.patch_num_ratio), 1
+    )
+    return seed_num, n * inf_cfg.final_ratio
+
+
 class PatchUpsampler:
     """Upsample arbitrary clouds with a trained generator."""
 
@@ -115,11 +129,9 @@ class PatchUpsampler:
         inf = self.inf_cfg
         pc = np.asarray(pc, np.float32)[:, :3]
         n = pc.shape[0]
-        out_num = n * inf.final_ratio
+        seed_num, out_num = plan_counts(n, inf)
 
         pc_n, centroid, furthest = normalize_point_cloud(jnp.asarray(pc))
-        seed_num = int(n / inf.patch_num_point * inf.patch_num_ratio)
-        seed_num = max(seed_num, 1)
 
         if self.mesh is None:
             out = self._pipeline(

@@ -46,8 +46,9 @@ def global_attention(
         return attention_pallas_diff(
             q, k, v, scale, 256, impl == "pallas" and not on_tpu
         )
-    s = jnp.einsum("bqc,bnc->bqn", q, k) * scale
-    return jnp.einsum("bqn,bnc->bqc", nn.softmax(s, axis=-1), v)
+    from dispu_tpu.ops.pallas_kernels import attention_xla
+
+    return attention_xla(q, k, v, scale)
 
 
 class PointNonLocalCell(nn.Module):

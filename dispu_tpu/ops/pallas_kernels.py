@@ -831,7 +831,12 @@ def gather_rows_pallas(
       idx: (b, q) int32 row indices.
       tile_q: queries per grid step.
       exact: 3-pass bit-exact (default); False = single bf16 pass (turbo,
-        values bf16-rounded like the XLA 'onehot' gather).
+        values bf16-rounded like the XLA 'onehot' gather).  NOTE: no
+        production path dispatches exact=False — measured at the refiner
+        shapes it only ties the native gather and loses to the XLA
+        one-hot einsum (PERFORMANCE.md "VMEM Pallas gather"); it is kept
+        for the measurement scripts (scripts/profile_r3j.py) and the
+        interpret-mode kernel test.
 
     Returns:
       (b, q, c) float32, bit-identical to ``jax.vmap(lambda t, i: t[i])``
@@ -1169,8 +1174,10 @@ def attention_pallas(
     return out[:, :nq, :cv]
 
 
-def _attention_xla(q, k, v, scale):
-    """The einsum composition the kernel replaces (XLA fallback)."""
+def attention_xla(q, k, v, scale):
+    """The einsum composition the kernel replaces — the dispatched XLA
+    fallback (nn.attention.global_attention) and the parity reference for
+    the interpret-mode kernel tests."""
     s = jnp.einsum("bqc,bnc->bqn", q, k) * scale
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bqn,bnc->bqc", p, v)

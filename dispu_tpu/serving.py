@@ -38,7 +38,7 @@ import numpy as np
 from jax import export as jax_export
 
 from dispu_tpu.config import GeneratorConfig, InferenceConfig
-from dispu_tpu.inference import PatchUpsampler
+from dispu_tpu.inference import PatchUpsampler, plan_counts
 from dispu_tpu.ops.geometry import normalize_point_cloud
 
 _MANIFEST = "manifest.json"
@@ -53,8 +53,7 @@ def _full_upsample_fn(ups: PatchUpsampler, n: int):
     over — they serialize as constants).
     """
     inf = ups.inf_cfg
-    out_num = n * inf.final_ratio
-    seed_num = max(int(n / inf.patch_num_point * inf.patch_num_ratio), 1)
+    seed_num, out_num = plan_counts(n, inf)
 
     def fn(pc: jnp.ndarray) -> jnp.ndarray:
         pc_n, centroid, furthest = normalize_point_cloud(pc)

@@ -345,7 +345,14 @@ class BaseTrainer:
 
     def _epoch_chunked(self, state, key, step, epoch_i):
         """One epoch in chunks of ``steps_per_print`` steps per dispatch
-        (see _make_chunk_fn); logging cadence matches the stepwise path.
+        (see _make_chunk_fn); scalars and renders fire once per cadence
+        boundary like the stepwise loop — when ``visualize`` is on the
+        chunk size aligns down to gcd(steps_per_print, steps_per_visu) so
+        boundaries land on chunk ends (the render then sees exactly the
+        post-boundary-step state and batch, like the stepwise path).
+        When an epoch length is not a multiple of the chunk, the leftover
+        steps run stepwise with the same cadence checks; boundaries that
+        straddle a chunk are emitted at the enclosing chunk's final step.
         """
         import jax.numpy as jnp
 
@@ -358,7 +365,10 @@ class BaseTrainer:
             return state, None, 0, step, key
         idx_all = np.stack(batches)
         nb = len(idx_all)
-        cs = max(1, min(cfg.train.steps_per_print, nb))
+        cs = cfg.train.steps_per_print
+        if cfg.train.visualize:
+            cs = math.gcd(cs, cfg.train.steps_per_visu)
+        cs = max(1, min(cs, nb))
         if getattr(self, "_chunk_fn", None) is None or self._chunk_cs != cs:
             self._chunk_fn = self._make_chunk_fn(cs)
             self._chunk_cs = cs
@@ -389,6 +399,7 @@ class BaseTrainer:
                 new_step, epoch_i, inputs=inputs,
             )
 
+        spp = cfg.train.steps_per_print
         c = 0
         while c + cs <= nb:
             key, sub = jax.random.split(key)
@@ -400,15 +411,16 @@ class BaseTrainer:
             timer.tick(cs)
             metric_sums = accumulate(metric_sums, sums)
             n_metric += cs
-            # one batched fetch per chunk (see the stepwise note)
-            host = {
-                k: float(v) for k, v in jax.device_get(last).items()
-            }
-            host["steps_per_sec"] = timer.steps_per_sec
-            self.logger.scalars(step, host)
+            if (step // spp) > ((step - cs) // spp):
+                # one batched fetch per print boundary (see stepwise note)
+                host = {
+                    k: float(v) for k, v in jax.device_get(last).items()
+                }
+                host["steps_per_sec"] = timer.steps_per_sec
+                self.logger.scalars(step, host)
             maybe_visualize(c + cs - 1, step)
             c += cs
-        # tail batches (nb % cs) run stepwise
+        # tail batches (nb % cs) run stepwise, same cadence checks
         for idx in idx_all[c:]:
             key, sub = jax.random.split(key)
             idx = jnp.asarray(idx)
@@ -428,6 +440,16 @@ class BaseTrainer:
             timer.tick()
             metric_sums = accumulate(metric_sums, metrics)
             n_metric += 1
+            if step % spp == 0:
+                host = {
+                    k: float(v) for k, v in jax.device_get(metrics).items()
+                }
+                host["steps_per_sec"] = timer.steps_per_sec
+                self.logger.scalars(step, host)
+            if cfg.train.visualize and step % cfg.train.steps_per_visu == 0:
+                self._visualize(
+                    state, gt, radius, step, epoch_i, inputs=inputs
+                )
         return state, metric_sums, n_metric, step, key
 
     def _train_loop(

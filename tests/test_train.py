@@ -152,6 +152,61 @@ class TestChunkedTraining:
         assert int(jax.device_get(state.step)) == 7
         assert int(jax.device_get(state.epoch)) == 1
 
+    def test_chunked_cadence_matches_stepwise(self, tmp_path, monkeypatch):
+        """Scalars and renders must fire at the stepwise loop's global
+        steps (regression: the tail used to skip both, and render
+        boundaries inside a chunk were collapsed/mislabeled).  24 patches
+        / batch 4 = 6 steps/epoch, 2 epochs; steps_per_print=4,
+        steps_per_visu=6 → chunk gcd 2; expected scalars at 4, 8, 12 and
+        renders at 6, 12 on BOTH paths."""
+        import dataclasses
+
+        from dispu_tpu.data.dataset import PatchDataset
+        from dispu_tpu.train.trainer import Trainer
+
+        def run(scan_steps):
+            cfg = ExperimentConfig(
+                generator=TINY_GEN,
+                train=dataclasses.replace(
+                    TrainConfig(batch_size=4),
+                    scan_steps=scan_steps,
+                    steps_per_print=4,
+                    visualize=True,
+                    steps_per_visu=6,
+                    backup_sources=False,
+                ),
+                data=DataConfig(num_point=32),
+                loss=LossConfig(repulsion_nsample=8),
+                log_dir=str(tmp_path / f"cad_{scan_steps}"),
+            )
+            ds = PatchDataset(
+                h5_path="/nonexistent", synthetic_patches_count=24,
+                num_point=32, seed=1,
+            )
+            tr = Trainer(cfg, dataset=ds, use_mesh=False)
+            visu_steps, scalar_steps = [], []
+            monkeypatch.setattr(
+                tr, "_visualize",
+                lambda state, gt, radius, step, epoch, inputs=None:
+                    visu_steps.append(step),
+            )
+            orig = tr.logger.scalars
+            monkeypatch.setattr(
+                tr.logger, "scalars",
+                lambda step, vals: (scalar_steps.append(step),
+                                    orig(step, vals)),
+            )
+            tr.train(epochs=2)
+            # drop the trainer's own end-of-epoch summaries (they log at
+            # epoch boundaries on both paths) — keep the in-epoch cadence
+            return visu_steps, [s for s in scalar_steps if s % 4 == 0]
+
+        visu_chunked, scal_chunked = run(True)
+        visu_stepwise, scal_stepwise = run(False)
+        assert visu_stepwise == [6, 12]
+        assert visu_chunked == visu_stepwise
+        assert scal_chunked == scal_stepwise
+
     def test_chunked_is_deterministic(self, tmp_path):
         r1 = self._trainer(tmp_path / "a", scan_steps=True).train(epochs=1)
         r2 = self._trainer(tmp_path / "b", scan_steps=True).train(epochs=1)
