@@ -186,6 +186,28 @@ class TestKnnPallas:
         assert np.all(d_p <= d_e + 1e-30)
         np.testing.assert_allclose(d_p, d_e, rtol=2.0**-13, atol=1e-6)
 
+    def test_packed_duplicate_bias(self, rng):
+        """The knn_unique 1e30 duplicate bias must work under 'packed':
+        biased columns all truncate to the same huge high bits, so they
+        sort last AND among themselves by lane — exactly the exact
+        variants' order (1e30 + d == 1e30 in f32, so they tie there too).
+        fast_knn routes edge_feature's knn_unique through this path."""
+        from dispu_tpu.ops.knn import mask_duplicate_rows
+        from dispu_tpu.ops.pallas_kernels import knn_pallas
+
+        pts = np.asarray(rng.randn(2, 40, 3), np.float32)
+        pts[0, 5] = pts[0, 2]   # duplicates to push to the end
+        pts[1, 9] = pts[1, 1]
+        pts[0, 11] = pts[0, 2]  # a triple
+        bias = mask_duplicate_rows(jnp.asarray(pts)).astype(jnp.float32) * 1e30
+        # k > distinct count in no trial here; k reaches into the biased
+        # tail so the biased ordering itself is exercised
+        d_e, i_e = knn_pallas(39, jnp.asarray(pts), jnp.asarray(pts),
+                              bias, interpret=True, variant="maskout")
+        d_p, i_p = knn_pallas(39, jnp.asarray(pts), jnp.asarray(pts),
+                              bias, interpret=True, variant="packed")
+        np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_e))
+
     def test_unique_bias_excludes_duplicates(self, rng):
         from dispu_tpu.ops.knn import mask_duplicate_rows
         from dispu_tpu.ops.pallas_kernels import knn_pallas
