@@ -95,6 +95,34 @@ def main():
     print(f"C GAN step b=28 in-scan shared-geometry (r3 ref 47.45): "
           f"{ms:.2f} ms/step", flush=True)
 
+    # E: bf16 NN compute at the pass-2 scale.  The round-2 rejection
+    # ("bfloat16" in PERFORMANCE.md) measured the model dtype at
+    # pass1/bench scale (64, 256→1024), where the casts around the f32
+    # selection/geometry ops outweighed the matmul savings.  Pass 2's
+    # conv stack streams ~4× the activation rows (HBM-bound per the SOL
+    # table), so bf16's halved activation traffic may now win.
+    for fast in (False, True):
+        cfg2 = dataclasses.replace(
+            gen_cfg, fast_gather=fast, fast_gather_backbone=fast)
+        m16 = DisPUGenerator(cfg=cfg2, dtype=jnp.bfloat16)
+        timed(f"E gen pass2 bf16-compute turbo={fast}",
+              lambda x, m=m16: m.apply(variables, x, train=False)[1],
+              (patches2,), iters=4)
+        timed(f"E gen pass1 bf16-compute turbo={fast}",
+              lambda x, m=m16: m.apply(variables, x, train=False)[1],
+              (patches1,), iters=8)
+        if not fast:
+            # output deviation of bf16 compute on the trained weights
+            mf = DisPUGenerator(cfg=cfg2)
+            a = jax.jit(lambda x: mf.apply(variables, x, train=False)[1])(
+                patches2)
+            b = jax.jit(lambda x: m16.apply(variables, x, train=False)[1])(
+                patches2)
+            dev = float(jnp.max(jnp.abs(a - b)))
+            scale = float(jnp.max(jnp.abs(a)))
+            print(f"E bf16 pass2 output max|dev| {dev:.2e} "
+                  f"(scale {scale:.2f})", flush=True)
+
     # D: CD step unchanged-path sanity (r3 ref 36.23)
     from dispu_tpu.train.steps import make_train_step
 
