@@ -205,6 +205,11 @@ class InferenceConfig:
     # approximation; quality deltas measured in PERFORMANCE.md)
     merge_fps: str = "exact"
     merge_fps_buckets: int = 64
+    # NN-compute dtype for the generator forward at inference ('float32'
+    # or 'bfloat16').  Geometry (xyz, kNN selection, merge FPS) always
+    # stays f32 regardless — only the conv/attention stacks cast.  Part
+    # of the turbo serving surface; exact f32 stays the default.
+    compute_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

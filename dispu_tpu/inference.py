@@ -54,7 +54,9 @@ class PatchUpsampler:
         self.variables = variables
         self.gen_cfg = gen_cfg
         self.inf_cfg = inf_cfg
-        self.model = DisPUGenerator(cfg=gen_cfg)
+        self.model = DisPUGenerator(
+            cfg=gen_cfg, dtype=jnp.dtype(inf_cfg.compute_dtype)
+        )
         self.mesh = mesh
         # number of chained 4x passes: 4 -> 1, 16 -> 2
         self.num_passes = max(

@@ -55,6 +55,30 @@ class TestPatchUpsampler:
         in_r = np.abs(pc).max()
         assert np.abs(out).max() < in_r * 2.5
 
+    def test_bf16_compute_dtype(self, rng, variables):
+        """InferenceConfig.compute_dtype='bfloat16' must run the whole
+        pipeline with bf16 NN compute (f32 geometry) and stay close to
+        the f32 path — same shapes, bounded deviation."""
+        inf32 = InferenceConfig(final_ratio=4, patch_num_point=64,
+                                patch_batch=8)
+        import dataclasses
+
+        inf16 = dataclasses.replace(inf32, compute_dtype="bfloat16")
+        pc = rng.randn(300, 3).astype(np.float32)
+        out32 = PatchUpsampler(variables, gen_cfg=GEN,
+                               inf_cfg=inf32).upsample(pc)
+        out16 = PatchUpsampler(variables, gen_cfg=GEN,
+                               inf_cfg=inf16).upsample(pc)
+        assert out16.shape == out32.shape
+        assert out16.dtype == np.float32
+        assert np.isfinite(out16).all()
+        # the merge FPS selects different points once upstream values
+        # shift, so pointwise comparison is meaningless — compare as
+        # SETS: symmetric mean NN distance small vs the cloud scale
+        d = np.linalg.norm(out16[:, None] - out32[None], axis=-1)
+        cd = 0.5 * (d.min(1).mean() + d.min(0).mean())
+        assert cd < 0.05 * np.abs(out32).max(), cd
+
     def test_mesh_sharded_matches_unsharded(self, rng, variables):
         pc = rng.randn(400, 3).astype(np.float32)
         up1 = PatchUpsampler(
