@@ -95,6 +95,10 @@ def parse_args():
                    help="input point counts to compile into the serving "
                         "artifact (--phase export); defaults to the sizes "
                         "of the --test_data files")
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="NN-compute dtype for train steps and inference "
+                        "(geometry/selection stay f32; see PERFORMANCE.md)")
     p.add_argument("--compile_cache", default=None, metavar="DIR",
                    help="persistent XLA compilation cache directory — "
                         "restarts skip the 20-40s trace+compile of the "
@@ -140,6 +144,7 @@ def build_config(args):
             gen_update=args.gen_update,
             d_clip=args.d_clip,
             seed=args.seed,
+            compute_dtype=args.compute_dtype,
         ),
         data=DataConfig(
             data_dir=args.data_dir,
@@ -155,6 +160,7 @@ def build_config(args):
             patch_num_point=args.patch_num_point,
             patch_num_ratio=args.patch_num_ratio,
             patch_batch=args.patch_batch,
+            compute_dtype=args.compute_dtype,
         ),
         use_gan=args.use_gan,
         log_dir=args.log_dir,
