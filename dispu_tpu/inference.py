@@ -50,7 +50,14 @@ class PatchUpsampler:
         gen_cfg: GeneratorConfig = GeneratorConfig(),
         inf_cfg: InferenceConfig = InferenceConfig(),
         mesh=None,
+        mesh_fused: bool = False,
     ):
+        """mesh_fused: with a mesh, run the SPMD single-jit pipeline — the
+        whole cloud in ONE dispatch with the patch chunks sharded over the
+        mesh's ``data`` axis (a sharding constraint inside the chunk loop;
+        XLA partitions the generator batch dim and inserts the collectives)
+        — instead of the staged per-chunk dispatch path.  This is also the
+        form the AOT export serializes for multi-device serving."""
         self.variables = variables
         self.gen_cfg = gen_cfg
         self.inf_cfg = inf_cfg
@@ -58,6 +65,12 @@ class PatchUpsampler:
             cfg=gen_cfg, dtype=jnp.dtype(inf_cfg.compute_dtype)
         )
         self.mesh = mesh
+        self.mesh_fused = mesh_fused and mesh is not None
+        self._chunk_sharding = None
+        if self.mesh_fused:
+            from dispu_tpu.parallel.mesh import batch_sharding
+
+            self._chunk_sharding = batch_sharding(mesh)
         # number of chained 4x passes: 4 -> 1, 16 -> 2
         self.num_passes = max(
             1, round(math.log(inf_cfg.final_ratio, inf_cfg.step_ratio))
@@ -119,7 +132,14 @@ class PatchUpsampler:
             )
             patches = jnp.concatenate([patches, filler], axis=0)
         chunks = patches.reshape(-1, bs, *patches.shape[1:])
-        preds = jax.lax.map(self._upsample_batch_impl, chunks)
+        body = self._upsample_batch_impl
+        if self._chunk_sharding is not None:
+            # SPMD: each bs-patch chunk is sharded over the data axis —
+            # XLA partitions the generator; prepare/merge stay replicated
+            body = lambda ch: self._upsample_batch_impl(  # noqa: E731
+                jax.lax.with_sharding_constraint(ch, self._chunk_sharding)
+            )
+        preds = jax.lax.map(body, chunks)
         pred = preds.reshape(-1, *preds.shape[2:])[:seed_num]
         pred = pred * p_furthest + p_centroid
         return self._merge_impl(pred.reshape(-1, 3), out_num)
@@ -135,10 +155,14 @@ class PatchUpsampler:
 
         pc_n, centroid, furthest = normalize_point_cloud(jnp.asarray(pc))
 
-        if self.mesh is None:
+        if self.mesh is None or self.mesh_fused:
+            bs = inf.patch_batch
+            if self.mesh_fused:
+                # chunk size must tile the data axis for even shards
+                n_dev = self.mesh.shape["data"]
+                bs = ((bs + n_dev - 1) // n_dev) * n_dev
             out = self._pipeline(
-                pc_n, seed_num=seed_num, out_num=out_num,
-                bs=inf.patch_batch,
+                pc_n, seed_num=seed_num, out_num=out_num, bs=bs,
             )
             out = out * furthest[0] + centroid[0]
             return np.asarray(out)

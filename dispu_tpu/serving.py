@@ -54,11 +54,15 @@ def _full_upsample_fn(ups: PatchUpsampler, n: int):
     """
     inf = ups.inf_cfg
     seed_num, out_num = plan_counts(n, inf)
+    bs = inf.patch_batch
+    if ups.mesh_fused:
+        n_dev = ups.mesh.shape["data"]
+        bs = ((bs + n_dev - 1) // n_dev) * n_dev
 
     def fn(pc: jnp.ndarray) -> jnp.ndarray:
         pc_n, centroid, furthest = normalize_point_cloud(pc)
         out = ups._pipeline_impl(
-            pc_n, seed_num=seed_num, out_num=out_num, bs=inf.patch_batch
+            pc_n, seed_num=seed_num, out_num=out_num, bs=bs
         )
         return out * furthest[0] + centroid[0]
 
@@ -71,6 +75,7 @@ def export_upsampler(
     path: str,
     gen_cfg: GeneratorConfig = GeneratorConfig(),
     inf_cfg: InferenceConfig = InferenceConfig(),
+    mesh=None,
 ) -> Dict[str, object]:
     """Serialize the upsampler for the given input sizes into ``path``.
 
@@ -81,14 +86,32 @@ def export_upsampler(
       path: directory to create (manifest.json + entry_<n>.bin blobs).
       gen_cfg / inf_cfg: architecture + pipeline configuration; recorded
         in the manifest for provenance.
+      mesh: optional ``jax.sharding.Mesh`` — exports the SPMD form of the
+        pipeline (patch chunks sharded over the mesh's ``data`` axis;
+        XLA partitions the generator and inserts the collectives).  The
+        artifact then requires the same device count to load/call
+        (recorded in the manifest as ``nr_devices``).
 
     Returns the manifest dict.
     """
-    ups = PatchUpsampler(variables, gen_cfg=gen_cfg, inf_cfg=inf_cfg)
+    ups = PatchUpsampler(
+        variables, gen_cfg=gen_cfg, inf_cfg=inf_cfg,
+        mesh=mesh, mesh_fused=mesh is not None,
+    )
     os.makedirs(path, exist_ok=True)
     entries = []
     for n in sorted(set(int(s) for s in sizes)):
-        exp = jax_export.export(jax.jit(_full_upsample_fn(ups, n)))(
+        fn = jax.jit(_full_upsample_fn(ups, n))
+        if mesh is not None:
+            from dispu_tpu.parallel.mesh import replicated_sharding
+
+            # replicated in/out; internal constraints shard the chunks
+            fn = jax.jit(
+                _full_upsample_fn(ups, n),
+                in_shardings=replicated_sharding(mesh),
+                out_shardings=replicated_sharding(mesh),
+            )
+        exp = jax_export.export(fn)(
             jax.ShapeDtypeStruct((n, 3), jnp.float32)
         )
         blob = exp.serialize()
@@ -101,6 +124,7 @@ def export_upsampler(
                 "out_n": n * inf_cfg.final_ratio,
                 "file": fname,
                 "platforms": list(exp.platforms),
+                "nr_devices": exp.nr_devices,
             }
         )
     manifest = {
@@ -159,7 +183,28 @@ class ServedUpsampler:
             ) as f:
                 exp = jax_export.deserialize(f.read())
             # jit the call so repeat invocations hit the C++ dispatch path
-            self._calls[n] = jax.jit(exp.call)
+            nr = int(self._entries[n].get("nr_devices", 1))
+            if nr > 1:
+                # SPMD entry: the call must run in a matching multi-device
+                # context — replicate in/out over the first nr devices
+                # (needs jax only, no dispu_tpu mesh code)
+                devs = jax.devices()
+                if len(devs) < nr:
+                    raise ValueError(
+                        f"entry n={n} was exported for {nr} devices; "
+                        f"only {len(devs)} visible"
+                    )
+                mesh = jax.sharding.Mesh(
+                    np.asarray(devs[:nr]), ("data",)
+                )
+                rep = jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                )
+                self._calls[n] = jax.jit(
+                    exp.call, in_shardings=rep, out_shardings=rep
+                )
+            else:
+                self._calls[n] = jax.jit(exp.call)
         return self._calls[n]
 
     def upsample(self, pc: np.ndarray) -> np.ndarray:

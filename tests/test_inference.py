@@ -79,6 +79,21 @@ class TestPatchUpsampler:
         cd = 0.5 * (d.min(1).mean() + d.min(0).mean())
         assert cd < 0.05 * np.abs(out32).max(), cd
 
+    def test_mesh_fused_matches_unsharded(self, rng, variables):
+        """The SPMD single-jit pipeline (mesh_fused: chunk sharding
+        constraints inside one dispatch) must reproduce the single-device
+        fused pipeline exactly — same program, sharding only."""
+        pc = rng.randn(400, 3).astype(np.float32)
+        inf = InferenceConfig(final_ratio=4, patch_num_point=64,
+                              patch_batch=8)
+        single = PatchUpsampler(variables, gen_cfg=GEN, inf_cfg=inf)
+        fused = PatchUpsampler(variables, gen_cfg=GEN, inf_cfg=inf,
+                               mesh=make_mesh(), mesh_fused=True)
+        a = single.upsample(pc)
+        b = fused.upsample(pc)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
     def test_mesh_sharded_matches_unsharded(self, rng, variables):
         pc = rng.randn(400, 3).astype(np.float32)
         up1 = PatchUpsampler(

@@ -114,6 +114,26 @@ class TestExportedUpsampler:
         assert res.shape == (640, 3)
         assert np.isfinite(res).all()
 
+    def test_spmd_export_round_trip(self, rng, variables, tmp_path):
+        """Exporting with a mesh serializes the SPMD pipeline (patch
+        chunks sharded over 'data'); the loaded artifact must match the
+        single-device pipeline's values and record nr_devices."""
+        from dispu_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        path = str(tmp_path / "spmd")
+        manifest = export_upsampler(
+            variables, sizes=[160], path=path,
+            gen_cfg=GEN, inf_cfg=INF, mesh=mesh,
+        )
+        assert manifest["entries"][0]["nr_devices"] == mesh.devices.size
+        served = ServedUpsampler(path)
+        pc = rng.randn(160, 3).astype(np.float32)
+        out = served.upsample(pc)
+        ref = PatchUpsampler(variables, gen_cfg=GEN, inf_cfg=INF).upsample(pc)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
     def test_compile_cache_populates(self, tmp_path):
         """`--compile_cache DIR` must wire the persistent XLA cache: a
         fresh jit compile writes an entry into the directory."""
