@@ -16,7 +16,7 @@ pipeline — as a serialized, versioned XLA artifact via ``jax.export``:
 * the serialized form is StableHLO with versioned custom-call contracts
   (jax guarantees ≥ 1 month backward / 1 week forward compatibility),
   loadable in a process with NO dispu_tpu, flax, or checkpoint code —
-  ``load_upsampler`` needs jax only.
+  ``ServedUpsampler`` needs jax only.
 
 Platform note: kernel dispatch (Pallas vs XLA fallback) happens at trace
 time by backend, so an artifact is exported FOR the platform that traces
