@@ -207,6 +207,15 @@ class ServedUpsampler:
                 self._calls[n] = jax.jit(exp.call)
         return self._calls[n]
 
+    def warmup(self, sizes=None):
+        """Deserialize + compile entries ahead of traffic (cold-start
+        control; pairs with the persistent compilation cache).  Compiles
+        via AOT lowering — no data moves."""
+        for n in sizes if sizes is not None else self.sizes:
+            self._call_for(n).lower(
+                jax.ShapeDtypeStruct((n, 3), jnp.float32)
+            ).compile()
+
     def upsample(self, pc: np.ndarray) -> np.ndarray:
         """(n, 3) cloud → (n·final_ratio, 3); n must be an exported size."""
         pc = np.asarray(pc, np.float32)[:, :3]

@@ -70,6 +70,14 @@ class TestExportedUpsampler:
         with pytest.raises(ValueError, match="no exported entry for n=77"):
             served.upsample(rng.randn(77, 3).astype(np.float32))
 
+    def test_warmup_precompiles(self, rng, artifact):
+        path, _ = artifact
+        served = ServedUpsampler(path)
+        served.warmup()  # all entries; must not raise and must cache
+        assert sorted(served._calls) == [128, 200]
+        out = served.upsample(rng.randn(128, 3).astype(np.float32))
+        assert out.shape == (512, 3)
+
     def test_repeat_calls_reuse_deserialized_entry(self, rng, artifact):
         path, _ = artifact
         served = ServedUpsampler(path)
