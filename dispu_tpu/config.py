@@ -52,6 +52,14 @@ class GeneratorConfig:
     # 58→53 ms train step at batch 28) or 'gather' (native, memory-bound);
     # used wherever the turbo fast_gather flags are off
     gather_impl: str = "onehot_hp"
+    # fused kNN+gather kernel for the refiner's xyz grouping: the
+    # selection rounds' knockout masks double as one-hot MXU gather
+    # operands, removing the separate wide gather pass.  Bit-identical to
+    # the exact composed path (kNN 'auto' + exact gather); composes with
+    # fast_gather (features bf16-round like 'onehot', xyz stays exact).
+    # Off by default until the on-chip measurement lands
+    # (scripts/profile_r3r.py).
+    fused_grouping: bool = False
 
     @property
     def num_out_points(self) -> int:

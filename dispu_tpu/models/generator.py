@@ -93,7 +93,11 @@ class DisPUGenerator(nn.Module):
             bn_momentum=cfg.bn_momentum,
             use_nonlocal=cfg.use_nonlocal,
             use_local=cfg.use_local,
-            gather_impl="onehot" if cfg.fast_gather else cfg.gather_impl,
+            gather_impl=(
+                ("fused_turbo" if cfg.fast_gather else "fused")
+                if cfg.fused_grouping
+                else ("onehot" if cfg.fast_gather else cfg.gather_impl)
+            ),
             knn_variant="packed" if cfg.fast_knn else "auto",
             dtype=self.dtype,
             name="PointShuffle",

@@ -47,7 +47,9 @@ class PointShuffle2(nn.Module):
     use_local: bool = True        # 'Local'
     refine_point: bool = False
     # feature-gather impl: 'gather' | 'onehot' (bf16 MXU) | 'onehot_hp' |
-    # 'pallas' (bit-exact MXU, see ops.grouping.group_point)
+    # 'pallas' (bit-exact MXU, see ops.grouping.group_point) | 'fused' /
+    # 'fused_turbo' (one kNN+gather kernel; knn_variant is then ignored —
+    # the fused selection is the exact mask-out sequence)
     gather_impl: str = "gather"
     # xyz-kNN selection: 'auto' (exact) | 'packed' (turbo — see ops.knn.knn)
     knn_variant: str = "auto"

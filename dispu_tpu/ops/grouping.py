@@ -233,7 +233,37 @@ def grouping(
     branch is latently broken (uses an undefined ``idx`` at line 174); this
     implementation fixes it by gathering features with the ball-query
     indices, which is the evident intent.
+
+    ``gather_impl='fused'`` routes the kNN *and* both gathers through one
+    Pallas kernel (:func:`dispu_tpu.ops.pallas_kernels.knn_group_pallas`):
+    the selection rounds' knockout masks double as one-hot gather operands
+    on the MXU, so the grouped tensor costs no separate gather pass.
+    Outputs are bit-identical to the exact composed path (kNN 'auto' +
+    combined exact gather); ``'fused_turbo'`` bf16-rounds the gathered
+    FEATURES exactly like ``impl='onehot'`` while xyz stays exact.  Both
+    fall back to the composed path off-TPU or when the cloud exceeds the
+    kernel's VMEM envelope (n > 4096 or c > 128).
     """
+    if use_knn and gather_impl in ("fused", "fused_turbo"):
+        fits = (
+            jax.default_backend() not in ("cpu", "gpu")
+            and src_xyz.shape[1] <= 4096
+            and feature.shape[-1] <= 128
+            and src_xyz.shape[-1] == 3
+        )
+        if fits:
+            from dispu_tpu.ops.pallas_kernels import knn_group_pallas_diff
+
+            _, idx, grouped_xyz, grouped_feature = knn_group_pallas_diff(
+                k, src_xyz, q_xyz, feature,
+                exact=(gather_impl == "fused"),
+            )
+            if use_xyz:
+                grouped_feature = jnp.concatenate(
+                    [grouped_xyz, grouped_feature], axis=-1
+                )
+            return grouped_xyz, grouped_feature, idx
+        gather_impl = "onehot_hp" if gather_impl == "fused" else "onehot"
     if use_knn:
         idx = knn_indices(k, src_xyz, q_xyz, variant=knn_variant)
     else:

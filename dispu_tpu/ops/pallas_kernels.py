@@ -1057,6 +1057,298 @@ def _knn_diff_bwd(k, interpret, variant, res, cotangents):
 knn_pallas_diff.defvjp(_knn_diff_fwd, _knn_diff_bwd)
 
 
+def _make_knn_group_kernel(k: int, exact: bool):
+    """Fused kNN + neighborhood gather: selection drives per-round MXU
+    gathers, so the (b, m, k, 3+c) grouped tensor never needs a separate
+    index round-trip or wide gather pass.
+
+    One grid step = (one cloud, one query tile).  The selection is the
+    statically-unrolled mask-out loop (bit-identical sequence to every
+    exact ``knn_pallas`` variant); each round's knockout mask
+    ``lane == sel`` IS the one-hot row of the selected neighbor, so it is
+    reused — cast to bf16 — as the left operand of the round's gather
+    matmuls:
+
+    * features: 3 exact bf16 terms (``exact=True``, bit-identical to the
+      native gather — same decomposition argument as
+      :func:`_make_gather_kernel`) or the single leading term
+      (``exact=False`` — values bf16-rounded exactly like the XLA
+      'onehot' turbo gather);
+    * xyz: ALWAYS exact, via one matmul against a 9-column table holding
+      the 3-term decomposition of each coordinate (the triplet sum is
+      done by the caller, term-major, so the f32 reconstruction argument
+      applies unchanged).  xyz rides one narrow MXU pass instead of three
+      because the terms sit side by side in the lane axis.
+
+    Round j's gather lands in output slot j via statically-offset
+    ``dynamic_update_slice`` (features: lane-block j·c_pad of a
+    (tm, k·c_pad) accumulator — 128-aligned; xyz: plane j of a
+    (k, tm, 16) accumulator — sublane-major), and every accumulator hits
+    its ref once.
+
+    Replaces ``knn_pallas`` + the combined [xyz|feature] ``group_point``
+    of ``ops.grouping.grouping`` (ref:Common/ops.py:154-179): the native
+    TPU gather there is row-count-bound (~17 ms for 32·4096·16 rows at
+    the 16x second-pass scale regardless of width), while these matmuls
+    ride the MXU concurrently with the VPU selection rounds.
+    """
+
+    def kernel(pts_ref, q_ref, bias_ref, x9_ref, *ft_and_out_refs):
+        ft_refs = ft_and_out_refs[:3 if exact else 1]
+        idx_ref, dist_ref, feat_ref, x9o_ref = ft_and_out_refs[-4:]
+        p = pts_ref[0]    # (n_pad, c_pad)
+        q = q_ref[0]      # (tm, c_pad)
+        x9 = x9_ref[0]    # (n_pad, 16) bf16 — xyz 3-term columns
+        n_pad = p.shape[0]
+        tm = q.shape[0]
+        k_pad = idx_ref.shape[-1]
+        cf = ft_refs[0].shape[-1]  # feature lane block (c_pad_f)
+
+        p2 = jnp.sum(p * p, axis=1)[None, :]
+        q2 = jnp.sum(q * q, axis=1)[:, None]
+        qp = jnp.dot(
+            q, p.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d = jnp.maximum(q2 - 2.0 * qp + p2, 0.0) + bias_ref[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, k_pad), 1)
+
+        fts = [r[0] for r in ft_refs]
+        dn = (((1,), (0,)), ((), ()))  # (tm, n) @ (n, c): contract n
+
+        dc = d
+        idx_acc = jnp.zeros((tm, k_pad), jnp.int32)
+        dist_acc = jnp.zeros((tm, k_pad), jnp.float32)
+        feat_acc = jnp.zeros((tm, k * cf), jnp.float32)
+        x9_acc = jnp.zeros((k, tm, 16), jnp.float32)
+        for j in range(k):
+            mv2 = jnp.min(dc, axis=1, keepdims=True)
+            hit = jnp.where(dc == mv2, lane, n_pad)
+            sel2 = jnp.min(hit, axis=1, keepdims=True)
+            idx_acc = jnp.where(lane_k == j, sel2, idx_acc)
+            dist_acc = jnp.where(lane_k == j, mv2, dist_acc)
+            onehot = (lane == sel2).astype(jnp.bfloat16)  # (tm, n_pad)
+            if j + 1 < k:
+                dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
+            g = jax.lax.dot_general(
+                onehot, fts[0], dn, preferred_element_type=jnp.float32)
+            for ft in fts[1:]:
+                g = g + jax.lax.dot_general(
+                    onehot, ft, dn, preferred_element_type=jnp.float32)
+            feat_acc = jax.lax.dynamic_update_slice(
+                feat_acc, g, (0, j * cf))
+            g9 = jax.lax.dot_general(
+                onehot, x9, dn, preferred_element_type=jnp.float32)
+            x9_acc = jax.lax.dynamic_update_slice(
+                x9_acc, g9[None], (j, 0, 0))
+        idx_ref[0] = idx_acc
+        dist_ref[0] = dist_acc
+        feat_ref[0] = feat_acc
+        x9o_ref[0] = x9_acc
+
+    return kernel
+
+
+def _bf16_terms(x: jnp.ndarray):
+    """Exact 3-term bf16 decomposition: t1 + t2 + t3 == x for normal f32
+    (each residual carries ≤8 fresh mantissa bits; partial sums are
+    f32-representable — the invariant the exact one-hot gathers rely on)."""
+    t1 = x.astype(jnp.bfloat16)
+    r1 = x - t1.astype(jnp.float32)
+    t2 = r1.astype(jnp.bfloat16)
+    t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return t1, t2, t3
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+def knn_group_pallas(
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    feats: jnp.ndarray,
+    column_bias: jnp.ndarray | None = None,
+    tile_m: int = 128,
+    interpret: bool = False,
+    exact: bool = True,
+):
+    """Fused exact kNN + neighborhood gather in one kernel.
+
+    Args:
+      k: neighbors (static).
+      points: (b, n, 3) dataset points (the kNN keys and the xyz table).
+      queries: (b, m, 3) query points.
+      feats: (b, n, c) per-point features to gather, c ≤ 128.
+      column_bias: optional (b, n) additive distance-column bias
+        (duplicate masking — biased columns sort last).
+      tile_m: query rows per grid step (VMEM-bounded; 128 fits the
+        (n=4096, c=128) refiner shape).
+      exact: 3-term exact feature gather (default, values bit-identical
+        to ``group_point(impl='gather')``); False = single bf16 term
+        (turbo — values match ``group_point(impl='onehot')``).  xyz is
+        exact in both modes.
+
+    Returns:
+      (sq_dists, idx, grouped_xyz, grouped_feat):
+      (b, m, k) f32 ascending, (b, m, k) int32, (b, m, k, 3) f32 exact,
+      (b, m, k, c) f32.  dists/idx are bit-identical to ``knn_pallas``.
+
+    Parity: composes ref:Common/ops.py:154-179 (knn + group_point) —
+    the host-nanoflann kNN and the CUDA gather
+    (ref:tf_ops/grouping/tf_grouping_g.cu:38-78) in one on-device pass.
+    """
+    b, n, c3 = points.shape
+    m = queries.shape[1]
+    c = feats.shape[-1]
+    if c > 128:
+        raise ValueError(f"knn_group_pallas supports c <= 128, got {c}")
+    n_pad = _round_up(max(n, 128), 128)
+    c_pad = _round_up(max(c3, 128), 128)
+    cf = _round_up(max(c, 128), 128)
+    k_pad = _round_up(max(k, 128), 128)
+    tile_m = min(tile_m, _round_up(max(m, 8), 8))
+    # VMEM: p(n·128·4) + 3 bf16 feat terms(n·cf·2 each) + x9(n·16·2) +
+    # the SSA knockout chain (2 · tm·n·4) + feat acc(tm·k·cf·4); cap the
+    # two distance tiles at ~8 MiB like the unroll variant
+    cap = max(8, (8 * 2**20) // (8 * n_pad) // 8 * 8)
+    tile_m = min(tile_m, cap)
+    m_pad = _round_up(max(m, tile_m), tile_m)
+
+    pts = jnp.zeros((b, n_pad, c_pad), jnp.float32)
+    pts = pts.at[:, :n, :c3].set(points.astype(jnp.float32))
+    qs = jnp.zeros((b, m_pad, c_pad), jnp.float32)
+    qs = qs.at[:, :m, :c3].set(queries.astype(jnp.float32))
+    bias = jnp.full((b, 1, n_pad), 1e30, jnp.float32)
+    if column_bias is None:
+        bias = bias.at[:, 0, :n].set(0.0)
+    else:
+        bias = bias.at[:, 0, :n].set(column_bias.astype(jnp.float32))
+
+    # xyz 3-term decomposition, term-major in 9 lane columns
+    xt1, xt2, xt3 = _bf16_terms(points.astype(jnp.float32))
+    x9 = jnp.zeros((b, n_pad, 16), jnp.bfloat16)
+    x9 = x9.at[:, :n, 0:3].set(xt1)
+    x9 = x9.at[:, :n, 3:6].set(xt2)
+    x9 = x9.at[:, :n, 6:9].set(xt3)
+
+    f32 = feats.astype(jnp.float32)
+    t1, t2, t3 = _bf16_terms(f32)
+    ftables = []
+    for t in (t1, t2, t3) if exact else (t1,):
+        ft = jnp.zeros((b, n_pad, cf), jnp.bfloat16)
+        ftables.append(ft.at[:, :n, :c].set(t))
+
+    grid = (b, m_pad // tile_m)
+    tbl_spec = pl.BlockSpec((1, n_pad, cf), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    idx_out, dist_out, feat_out, x9_out = pl.pallas_call(
+        _make_knn_group_kernel(k, exact),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, c_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 16), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [tbl_spec] * len(ftables),
+        out_specs=[
+            pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, k * cf), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tile_m, 16), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
+            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, m_pad, k * cf), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, m_pad, 16), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pts, qs, bias, x9, *ftables)
+
+    dists = dist_out[:, :m, :k]
+    idx = idx_out[:, :m, :k]
+    gfeat = feat_out[:, :m].reshape(b, m, k, cf)[..., :c]
+    x9g = jnp.transpose(x9_out, (0, 2, 1, 3))[:, :m]  # (b, m, k, 16)
+    # term-major reconstruction — same accumulation order as the exact
+    # feature gather, so the f32 exactness argument applies unchanged
+    gxyz = (x9g[..., 0:3] + x9g[..., 3:6] + x9g[..., 6:9])
+    return dists, idx, gxyz, gfeat
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+def knn_group_pallas_diff(
+    k: int,
+    points: jnp.ndarray,
+    queries: jnp.ndarray,
+    feats: jnp.ndarray,
+    interpret: bool = False,
+    exact: bool = True,
+):
+    """Differentiable :func:`knn_group_pallas` (pallas_call has no AD rule).
+
+    The VJP treats the selection as fixed, exactly like the composed
+    path's autodiff: distance cotangents flow to the query and its
+    selected neighbors (the ``top_k(pairwise)`` gradient), and the
+    grouped xyz/feature cotangents scatter-add back to ``points`` /
+    ``feats`` at the selected indices (the gather transpose,
+    deterministic — ref's CUDA grads use atomicAdd,
+    ref:tf_ops/grouping/tf_grouping_g.cu:60-78).
+    """
+    return knn_group_pallas(
+        k,
+        jax.lax.stop_gradient(points),
+        jax.lax.stop_gradient(queries),
+        jax.lax.stop_gradient(feats),
+        None,
+        128,
+        interpret,
+        exact,
+    )
+
+
+def _knn_group_fwd(k, points, queries, feats, interpret, exact):
+    out = knn_group_pallas_diff(k, points, queries, feats, interpret, exact)
+    _, idx, _, _ = out
+    return out, (points, queries, feats, idx)
+
+
+def _knn_group_bwd(k, interpret, exact, res, cotangents):
+    points, queries, feats, idx = res
+    g_dist, _, g_gxyz, g_gfeat = cotangents
+
+    def scat(zeros, i, u):
+        return jax.vmap(
+            lambda z, ii, uu: z.at[ii.reshape(-1)].add(
+                uu.reshape(-1, uu.shape[-1]))
+        )(zeros, i, u)
+
+    # gather transposes
+    d_feats = scat(jnp.zeros_like(feats), idx,
+                   g_gfeat.astype(feats.dtype))
+    d_points = scat(jnp.zeros_like(points), idx,
+                    g_gxyz.astype(points.dtype))
+    # distance cotangent (selection fixed): d = |q - p_sel|^2
+    neighbors = jax.vmap(lambda p, i: p[i])(points, idx)
+    diff = queries[:, :, None, :] - neighbors
+    contrib = 2.0 * g_dist[..., None] * diff
+    d_queries = jnp.sum(contrib, axis=2)
+    d_points = d_points + scat(jnp.zeros_like(points), idx, -contrib)
+    return d_points, d_queries, d_feats
+
+
+knn_group_pallas_diff.defvjp(_knn_group_fwd, _knn_group_bwd)
+
+
 def _make_attention_kernel(scale: float, nk: int):
     """Softmax attention for one (batch, query-tile) grid step.
 

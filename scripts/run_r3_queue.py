@@ -1,0 +1,35 @@
+"""Run the three queued round-3 TPU measurement sessions in ONE process.
+
+The TPU pool went down at the end of the previous session with
+profile_r3o (kernel-variant grid), r3p (in-context fast_knn /
+shared-geometry GAN / bf16 pass-2) and r3q (full turbo-config grid)
+written but unmeasured.  Chip grants take minutes and serialize, so all
+three run here back to back in a single grant.
+
+    cd /root/repo && PYTHONPATH=/root/repo:/root/.axon_site \
+        python -u scripts/run_r3_queue.py
+"""
+
+import time
+import traceback
+
+from scripts import profile_r3o, profile_r3p, profile_r3q, profile_r3r
+
+
+def main():
+    for name, mod in (("r3o", profile_r3o), ("r3p", profile_r3p),
+                      ("r3q", profile_r3q), ("r3r", profile_r3r)):
+        print(f"===== {name} start {time.strftime('%H:%M:%S')} =====",
+              flush=True)
+        try:
+            mod.main()
+        except Exception:
+            traceback.print_exc()
+            print(f"===== {name} FAILED =====", flush=True)
+        else:
+            print(f"===== {name} done {time.strftime('%H:%M:%S')} =====",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -440,6 +440,118 @@ class TestGatherRowsPallas:
             np.asarray(g_p), np.asarray(g_n), atol=1e-6
         )
 
+class TestKnnGroupPallas:
+    """Fused kNN + neighborhood gather vs the composed exact path."""
+
+    @pytest.mark.parametrize("n,m,c,k", [(64, 48, 7, 5), (130, 130, 128, 16),
+                                         (200, 64, 64, 4)])
+    def test_exact_matches_composed_path(self, rng, n, m, c, k):
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas, knn_pallas
+
+        pts = jnp.asarray(rng.randn(2, n, 3), np.float32)
+        q = jnp.asarray(rng.randn(2, m, 3), np.float32)
+        fe = jnp.asarray(rng.randn(2, n, c), np.float32)
+
+        d, i, gx, gf = knn_group_pallas(k, pts, q, fe, interpret=True)
+        d0, i0 = knn_pallas(k, pts, q, interpret=True)
+        assert np.array_equal(np.asarray(i), np.asarray(i0))
+        assert np.array_equal(np.asarray(d), np.asarray(d0))
+        gx0 = jax.vmap(lambda p, ii: p[ii])(pts, i0)
+        gf0 = jax.vmap(lambda p, ii: p[ii])(fe, i0)
+        # bit-identical gathers: xyz and features (3-term exact bf16)
+        assert np.array_equal(np.asarray(gx), np.asarray(gx0))
+        assert np.array_equal(np.asarray(gf), np.asarray(gf0))
+
+    def test_turbo_features_match_onehot_semantics(self, rng):
+        """exact=False bf16-rounds features exactly like impl='onehot';
+        xyz stays bit-exact."""
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas, knn_pallas
+
+        pts = jnp.asarray(rng.randn(2, 100, 3), np.float32)
+        q = jnp.asarray(rng.randn(2, 60, 3), np.float32)
+        fe = jnp.asarray(rng.randn(2, 100, 33), np.float32)
+
+        _, i, gx, gf = knn_group_pallas(
+            5, pts, q, fe, interpret=True, exact=False)
+        _, i0 = knn_pallas(5, pts, q, interpret=True)
+        assert np.array_equal(np.asarray(i), np.asarray(i0))
+        gx0 = jax.vmap(lambda p, ii: p[ii])(pts, i0)
+        assert np.array_equal(np.asarray(gx), np.asarray(gx0))
+        gf_bf16 = jax.vmap(lambda p, ii: p[ii])(
+            fe.astype(jnp.bfloat16).astype(jnp.float32), i0)
+        assert np.array_equal(np.asarray(gf), np.asarray(gf_bf16))
+
+    def test_extreme_magnitudes_stay_exact(self, rng):
+        """The 3-term decomposition argument must hold across magnitudes
+        (same contract as gather_rows_pallas)."""
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas
+
+        fe = jnp.asarray(
+            rng.randn(1, 50, 9) * np.exp(rng.uniform(-30, 30, (1, 50, 9))),
+            np.float32,
+        )
+        pts = jnp.asarray(rng.randn(1, 50, 3), np.float32)
+        q = jnp.asarray(rng.randn(1, 20, 3), np.float32)
+        _, i, _, gf = knn_group_pallas(4, pts, q, fe, interpret=True)
+        gf0 = jax.vmap(lambda p, ii: p[ii])(fe, i)
+        assert np.array_equal(np.asarray(gf), np.asarray(gf0))
+
+    def test_column_bias_masks_duplicates(self, rng):
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas, knn_pallas
+
+        pts = jnp.asarray(rng.randn(1, 40, 3), np.float32)
+        q = jnp.asarray(rng.randn(1, 16, 3), np.float32)
+        fe = jnp.asarray(rng.randn(1, 40, 6), np.float32)
+        bias = jnp.zeros((1, 40), np.float32).at[:, ::2].set(1e10)
+
+        _, i, _, _ = knn_group_pallas(4, pts, q, fe, bias, interpret=True)
+        _, i0 = knn_pallas(4, pts, q, bias, interpret=True)
+        assert np.array_equal(np.asarray(i), np.asarray(i0))
+        assert (np.asarray(i) % 2 == 1).all()  # biased columns sort last
+
+    def test_grad_matches_composed_autodiff(self, rng):
+        """The custom VJP must equal autodiff of the composed
+        top_k + gather path — the refiner trains through this op."""
+        from dispu_tpu.ops.knn import knn
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas_diff
+
+        pts = jnp.asarray(rng.randn(1, 40, 3), np.float32)
+        q = jnp.asarray(rng.randn(1, 20, 3), np.float32)
+        fe = jnp.asarray(rng.randn(1, 40, 8), np.float32)
+
+        def loss_fused(p, q_, f):
+            d, _, gx, gf = knn_group_pallas_diff(4, p, q_, f, True)
+            return (jnp.sum(jnp.sin(d)) + jnp.sum(gx * gx)
+                    + jnp.sum(jnp.cos(gf)))
+
+        def loss_composed(p, q_, f):
+            d, i = knn(4, p, q_, impl="xla")
+            gx = jax.vmap(lambda t, ii: t[ii])(p, jax.lax.stop_gradient(i))
+            gf = jax.vmap(lambda t, ii: t[ii])(f, jax.lax.stop_gradient(i))
+            return (jnp.sum(jnp.sin(d)) + jnp.sum(gx * gx)
+                    + jnp.sum(jnp.cos(gf)))
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(pts, q, fe)
+        g_c = jax.grad(loss_composed, argnums=(0, 1, 2))(pts, q, fe)
+        for a, b in zip(g_f, g_c):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_grouping_fused_falls_back_off_tpu(self, rng):
+        """On CPU the 'fused' gather_impl must dispatch to the composed
+        exact path (and 'fused_turbo' to the onehot turbo path)."""
+        from dispu_tpu.ops.grouping import grouping
+
+        fe = jnp.asarray(rng.randn(2, 50, 16), np.float32)
+        xyz = jnp.asarray(rng.randn(2, 50, 3), np.float32)
+
+        gx, gf, i = grouping(fe, 6, xyz, xyz, gather_impl="fused")
+        gx0, gf0, i0 = grouping(fe, 6, xyz, xyz, gather_impl="gather")
+        assert np.array_equal(np.asarray(i), np.asarray(i0))
+        assert np.array_equal(np.asarray(gx), np.asarray(gx0))
+        assert np.array_equal(np.asarray(gf), np.asarray(gf0))
+
+
 class TestAttentionPallas:
     def _ref(self, q, k, v, scale):
         s = jnp.einsum("bqc,bnc->bqn", q, k,
