@@ -51,8 +51,12 @@ class DisPUGenerator(nn.Module):
             dense_block=cfg.dense_block,
             dense_n=cfg.dense_n,
             k=cfg.knn,
-            gather_impl=("onehot" if cfg.fast_gather_backbone
-                         else cfg.gather_impl),
+            gather_impl=(
+                ("fused_turbo" if cfg.fast_gather_backbone else "fused")
+                if cfg.fused_grouping
+                else ("onehot" if cfg.fast_gather_backbone
+                      else cfg.gather_impl)
+            ),
             knn_variant="packed" if cfg.fast_knn else "auto",
             name="feature_extraction_coarse",
             **kw,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dispu_tpu.nn.layers import PointConv
@@ -39,10 +40,44 @@ def edge_feature(
 
     Parity: ref:Common/ops.py:1856-1877 — kNN with ``k+1`` in feature space,
     duplicates masked (unique=True), self/first column dropped.
+
+    ``gather_impl='fused'``/``'fused_turbo'`` computes the kNN and the
+    neighbor gather in one Pallas kernel (``drop_first`` mode — the self
+    column is selected and knocked out but never gathered); exact mode is
+    bit-identical to the composed path, turbo bf16-rounds the gathered
+    values like ``impl='onehot'``.  Falls back to the composed path
+    off-TPU, for precomputed ``idx``, or outside the kernel's envelope.
     """
+    if idx is None and gather_impl in ("fused", "fused_turbo"):
+        fits = (
+            jax.default_backend() not in ("cpu", "gpu")
+            and 64 <= feature.shape[-2] <= 4096
+            and feature.shape[-1] <= 384
+            and k + 1 <= 128
+        )
+        if fits:
+            from dispu_tpu.ops.knn import mask_duplicate_rows
+            from dispu_tpu.ops.pallas_kernels import knn_group_pallas_diff
+
+            dup = mask_duplicate_rows(jax.lax.stop_gradient(feature))
+            _, idx, _, neighbors = knn_group_pallas_diff(
+                k, feature, feature, feature,
+                dup.astype(jnp.float32) * 1e30,
+                exact=(gather_impl == "fused"),
+                with_xyz=False,
+                drop_first=True,
+            )
+            center = jnp.broadcast_to(
+                feature[:, :, None, :], neighbors.shape
+            )
+            return (jnp.concatenate([center, neighbors - center], axis=-1),
+                    idx)
+        gather_impl = "onehot_hp" if gather_impl == "fused" else "onehot"
     if idx is None:
         nbr = knn_unique_indices(k + 1, feature, feature, variant=knn_variant)
         idx = nbr[:, :, 1:]
+    if gather_impl in ("fused", "fused_turbo"):  # precomputed idx path
+        gather_impl = "onehot_hp" if gather_impl == "fused" else "onehot"
     neighbors = group_point(feature, idx, impl=gather_impl)
     center = jnp.broadcast_to(
         feature[:, :, None, :], neighbors.shape

@@ -248,7 +248,7 @@ def grouping(
         fits = (
             jax.default_backend() not in ("cpu", "gpu")
             and src_xyz.shape[1] <= 4096
-            and feature.shape[-1] <= 128
+            and feature.shape[-1] <= 384
             and src_xyz.shape[-1] == 3
         )
         if fits:

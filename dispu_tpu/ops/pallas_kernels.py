@@ -1057,9 +1057,10 @@ def _knn_diff_bwd(k, interpret, variant, res, cotangents):
 knn_pallas_diff.defvjp(_knn_diff_fwd, _knn_diff_bwd)
 
 
-def _make_knn_group_kernel(k: int, exact: bool):
+def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
+                           drop_first: bool):
     """Fused kNN + neighborhood gather: selection drives per-round MXU
-    gathers, so the (b, m, k, 3+c) grouped tensor never needs a separate
+    gathers, so the (b, m, k, [3+]c) grouped tensor never needs a separate
     index round-trip or wide gather pass.
 
     One grid step = (one cloud, one query tile).  The selection is the
@@ -1074,35 +1075,43 @@ def _make_knn_group_kernel(k: int, exact: bool):
       :func:`_make_gather_kernel`) or the single leading term
       (``exact=False`` — values bf16-rounded exactly like the XLA
       'onehot' turbo gather);
-    * xyz: ALWAYS exact, via one matmul against a 9-column table holding
-      the 3-term decomposition of each coordinate (the triplet sum is
-      done by the caller, term-major, so the f32 reconstruction argument
-      applies unchanged).  xyz rides one narrow MXU pass instead of three
-      because the terms sit side by side in the lane axis.
+    * xyz (``with_xyz``): ALWAYS exact, via one matmul against a
+      9-column table holding the 3-term decomposition of each
+      coordinate (the triplet sum is done by the caller, term-major, so
+      the f32 reconstruction argument applies unchanged).  xyz rides one
+      narrow MXU pass instead of three because the terms sit side by
+      side in the lane axis.
 
-    Round j's gather lands in output slot j via statically-offset
-    ``dynamic_update_slice`` (features: lane-block j·c_pad of a
-    (tm, k·c_pad) accumulator — 128-aligned; xyz: plane j of a
-    (k, tm, 16) accumulator — sublane-major), and every accumulator hits
-    its ref once.
+    ``drop_first`` runs k+1 selection rounds and keeps rounds 1..k —
+    the edge-conv composition ``knn_unique(k+1)[:, :, 1:]`` (self column
+    dropped) in one kernel, with no gather on the dropped round.
+
+    Kept round ``slot`` lands in output slot ``slot`` via
+    statically-offset ``dynamic_update_slice`` (features: lane-block
+    slot·cf of a (tm, k·cf) accumulator — 128-aligned; xyz: plane slot
+    of a (k, tm, 16) accumulator — sublane-major), and every accumulator
+    hits its ref once.
 
     Replaces ``knn_pallas`` + the combined [xyz|feature] ``group_point``
-    of ``ops.grouping.grouping`` (ref:Common/ops.py:154-179): the native
-    TPU gather there is row-count-bound (~17 ms for 32·4096·16 rows at
-    the 16x second-pass scale regardless of width), while these matmuls
-    ride the MXU concurrently with the VPU selection rounds.
+    of ``ops.grouping.grouping`` (ref:Common/ops.py:154-179) and the
+    edge-conv neighborhood build (ref:Common/ops.py:1856-1877): the
+    native TPU gather there is row-count-bound (~17 ms for 32·4096·16
+    rows at the 16x second-pass scale regardless of width), while these
+    matmuls ride the MXU concurrently with the VPU selection rounds.
     """
 
-    def kernel(pts_ref, q_ref, bias_ref, x9_ref, *ft_and_out_refs):
-        ft_refs = ft_and_out_refs[:3 if exact else 1]
-        idx_ref, dist_ref, feat_ref, x9o_ref = ft_and_out_refs[-4:]
+    def kernel(pts_ref, q_ref, bias_ref, *rest):
+        pos = 1 if with_xyz else 0
+        nft = 3 if exact else 1
+        ft_refs = rest[pos:pos + nft]
+        out_refs = rest[pos + nft:]
+        idx_ref, dist_ref, feat_ref = out_refs[:3]
         p = pts_ref[0]    # (n_pad, c_pad)
         q = q_ref[0]      # (tm, c_pad)
-        x9 = x9_ref[0]    # (n_pad, 16) bf16 — xyz 3-term columns
         n_pad = p.shape[0]
         tm = q.shape[0]
         k_pad = idx_ref.shape[-1]
-        cf = ft_refs[0].shape[-1]  # feature lane block (c_pad_f)
+        cf = ft_refs[0].shape[-1]  # feature lane width (c_pad_f)
 
         p2 = jnp.sum(p * p, axis=1)[None, :]
         q2 = jnp.sum(q * q, axis=1)[:, None]
@@ -1123,31 +1132,39 @@ def _make_knn_group_kernel(k: int, exact: bool):
         idx_acc = jnp.zeros((tm, k_pad), jnp.int32)
         dist_acc = jnp.zeros((tm, k_pad), jnp.float32)
         feat_acc = jnp.zeros((tm, k * cf), jnp.float32)
-        x9_acc = jnp.zeros((k, tm, 16), jnp.float32)
-        for j in range(k):
+        if with_xyz:
+            x9 = rest[0][0]  # (n_pad, 16) bf16 — xyz 3-term columns
+            x9_acc = jnp.zeros((k, tm, 16), jnp.float32)
+        rounds = k + 1 if drop_first else k
+        for j in range(rounds):
             mv2 = jnp.min(dc, axis=1, keepdims=True)
             hit = jnp.where(dc == mv2, lane, n_pad)
             sel2 = jnp.min(hit, axis=1, keepdims=True)
-            idx_acc = jnp.where(lane_k == j, sel2, idx_acc)
-            dist_acc = jnp.where(lane_k == j, mv2, dist_acc)
-            onehot = (lane == sel2).astype(jnp.bfloat16)  # (tm, n_pad)
-            if j + 1 < k:
+            if j + 1 < rounds:
                 dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
+            slot = j - 1 if drop_first else j
+            if slot < 0:
+                continue  # self column: selected and knocked out, no gather
+            idx_acc = jnp.where(lane_k == slot, sel2, idx_acc)
+            dist_acc = jnp.where(lane_k == slot, mv2, dist_acc)
+            onehot = (lane == sel2).astype(jnp.bfloat16)  # (tm, n_pad)
             g = jax.lax.dot_general(
                 onehot, fts[0], dn, preferred_element_type=jnp.float32)
             for ft in fts[1:]:
                 g = g + jax.lax.dot_general(
                     onehot, ft, dn, preferred_element_type=jnp.float32)
             feat_acc = jax.lax.dynamic_update_slice(
-                feat_acc, g, (0, j * cf))
-            g9 = jax.lax.dot_general(
-                onehot, x9, dn, preferred_element_type=jnp.float32)
-            x9_acc = jax.lax.dynamic_update_slice(
-                x9_acc, g9[None], (j, 0, 0))
+                feat_acc, g, (0, slot * cf))
+            if with_xyz:
+                g9 = jax.lax.dot_general(
+                    onehot, x9, dn, preferred_element_type=jnp.float32)
+                x9_acc = jax.lax.dynamic_update_slice(
+                    x9_acc, g9[None], (slot, 0, 0))
         idx_ref[0] = idx_acc
         dist_ref[0] = dist_acc
         feat_ref[0] = feat_acc
-        x9o_ref[0] = x9_acc
+        if with_xyz:
+            out_refs[3][0] = x9_acc
 
     return kernel
 
@@ -1163,7 +1180,7 @@ def _bf16_terms(x: jnp.ndarray):
     return t1, t2, t3
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
 def knn_group_pallas(
     k: int,
     points: jnp.ndarray,
@@ -1173,14 +1190,17 @@ def knn_group_pallas(
     tile_m: int = 128,
     interpret: bool = False,
     exact: bool = True,
+    with_xyz: bool = True,
+    drop_first: bool = False,
 ):
     """Fused exact kNN + neighborhood gather in one kernel.
 
     Args:
-      k: neighbors (static).
-      points: (b, n, 3) dataset points (the kNN keys and the xyz table).
-      queries: (b, m, 3) query points.
-      feats: (b, n, c) per-point features to gather, c ≤ 128.
+      k: neighbors (static) — KEPT neighbors when ``drop_first``.
+      points: (b, n, ck) dataset points (the kNN keys; also the xyz
+        table when ``with_xyz`` — ck = 3 then).
+      queries: (b, m, ck) query points.
+      feats: (b, n, c) per-point features to gather, c ≤ 384.
       column_bias: optional (b, n) additive distance-column bias
         (duplicate masking — biased columns sort last).
       tile_m: query rows per grid step (VMEM-bounded; 128 fits the
@@ -1189,11 +1209,17 @@ def knn_group_pallas(
         to ``group_point(impl='gather')``); False = single bf16 term
         (turbo — values match ``group_point(impl='onehot')``).  xyz is
         exact in both modes.
+      with_xyz: also gather the neighbor coordinate rows (exact).
+      drop_first: run k+1 selection rounds and keep rounds 1..k — the
+        ``knn_unique(k+1)[:, :, 1:]`` edge-conv composition
+        (ref:Common/ops.py:1856-1877) without gathering the self column.
 
     Returns:
       (sq_dists, idx, grouped_xyz, grouped_feat):
-      (b, m, k) f32 ascending, (b, m, k) int32, (b, m, k, 3) f32 exact,
-      (b, m, k, c) f32.  dists/idx are bit-identical to ``knn_pallas``.
+      (b, m, k) f32 ascending, (b, m, k) int32, (b, m, k, ck) f32 exact
+      (``None`` when not ``with_xyz``), (b, m, k, c) f32.  dists/idx are
+      bit-identical to ``knn_pallas`` (rounds 1..k of k+1 when
+      ``drop_first``).
 
     Parity: composes ref:Common/ops.py:154-179 (knn + group_point) —
     the host-nanoflann kNN and the CUDA gather
@@ -1202,14 +1228,16 @@ def knn_group_pallas(
     b, n, c3 = points.shape
     m = queries.shape[1]
     c = feats.shape[-1]
-    if c > 128:
-        raise ValueError(f"knn_group_pallas supports c <= 128, got {c}")
+    if c > 384:
+        raise ValueError(f"knn_group_pallas supports c <= 384, got {c}")
+    if with_xyz and c3 != 3:
+        raise ValueError(f"with_xyz needs 3-d points, got c={c3}")
     n_pad = _round_up(max(n, 128), 128)
     c_pad = _round_up(max(c3, 128), 128)
     cf = _round_up(max(c, 128), 128)
     k_pad = _round_up(max(k, 128), 128)
     tile_m = min(tile_m, _round_up(max(m, 8), 8))
-    # VMEM: p(n·128·4) + 3 bf16 feat terms(n·cf·2 each) + x9(n·16·2) +
+    # VMEM: p(n·c_pad·4) + 3 bf16 feat terms(n·cf·2 each) + x9(n·16·2) +
     # the SSA knockout chain (2 · tm·n·4) + feat acc(tm·k·cf·4); cap the
     # two distance tiles at ~8 MiB like the unroll variant
     cap = max(8, (8 * 2**20) // (8 * n_pad) // 8 * 8)
@@ -1226,73 +1254,89 @@ def knn_group_pallas(
     else:
         bias = bias.at[:, 0, :n].set(column_bias.astype(jnp.float32))
 
-    # xyz 3-term decomposition, term-major in 9 lane columns
-    xt1, xt2, xt3 = _bf16_terms(points.astype(jnp.float32))
-    x9 = jnp.zeros((b, n_pad, 16), jnp.bfloat16)
-    x9 = x9.at[:, :n, 0:3].set(xt1)
-    x9 = x9.at[:, :n, 3:6].set(xt2)
-    x9 = x9.at[:, :n, 6:9].set(xt3)
+    inputs = [pts, qs, bias]
+    in_specs = [
+        pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_m, c_pad), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if with_xyz:
+        # xyz 3-term decomposition, term-major in 9 lane columns
+        xt1, xt2, xt3 = _bf16_terms(points.astype(jnp.float32))
+        x9 = jnp.zeros((b, n_pad, 16), jnp.bfloat16)
+        x9 = x9.at[:, :n, 0:3].set(xt1)
+        x9 = x9.at[:, :n, 3:6].set(xt2)
+        x9 = x9.at[:, :n, 6:9].set(xt3)
+        inputs.append(x9)
+        in_specs.append(
+            pl.BlockSpec((1, n_pad, 16), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM))
 
     f32 = feats.astype(jnp.float32)
     t1, t2, t3 = _bf16_terms(f32)
-    ftables = []
-    for t in (t1, t2, t3) if exact else (t1,):
-        ft = jnp.zeros((b, n_pad, cf), jnp.bfloat16)
-        ftables.append(ft.at[:, :n, :c].set(t))
-
-    grid = (b, m_pad // tile_m)
     tbl_spec = pl.BlockSpec((1, n_pad, cf), lambda i, j: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    idx_out, dist_out, feat_out, x9_out = pl.pallas_call(
-        _make_knn_group_kernel(k, exact),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, c_pad), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_pad, 16), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [tbl_spec] * len(ftables),
-        out_specs=[
-            pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_m, k * cf), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
+    for t in (t1, t2, t3) if exact else (t1,):
+        ft = jnp.zeros((b, n_pad, cf), jnp.bfloat16)
+        inputs.append(ft.at[:, :n, :c].set(t))
+        in_specs.append(tbl_spec)
+
+    out_specs = [
+        pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_m, k * cf), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
+        jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((b, m_pad, k * cf), jnp.float32),
+    ]
+    if with_xyz:
+        out_specs.append(
             pl.BlockSpec((1, k, tile_m, 16), lambda i, j: (i, 0, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
-            jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, m_pad, k * cf), jnp.float32),
-            jax.ShapeDtypeStruct((b, k, m_pad, 16), jnp.float32),
-        ],
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, k, m_pad, 16), jnp.float32))
+
+    outs = pl.pallas_call(
+        _make_knn_group_kernel(k, exact, with_xyz, drop_first),
+        grid=(b, m_pad // tile_m),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(pts, qs, bias, x9, *ftables)
+    )(*inputs)
+    idx_out, dist_out, feat_out = outs[:3]
 
     dists = dist_out[:, :m, :k]
     idx = idx_out[:, :m, :k]
     gfeat = feat_out[:, :m].reshape(b, m, k, cf)[..., :c]
-    x9g = jnp.transpose(x9_out, (0, 2, 1, 3))[:, :m]  # (b, m, k, 16)
-    # term-major reconstruction — same accumulation order as the exact
-    # feature gather, so the f32 exactness argument applies unchanged
-    gxyz = (x9g[..., 0:3] + x9g[..., 3:6] + x9g[..., 6:9])
+    gxyz = None
+    if with_xyz:
+        x9g = jnp.transpose(outs[3], (0, 2, 1, 3))[:, :m]  # (b, m, k, 16)
+        # term-major reconstruction — same accumulation order as the exact
+        # feature gather, so the f32 exactness argument applies unchanged
+        gxyz = (x9g[..., 0:3] + x9g[..., 3:6] + x9g[..., 6:9])
     return dists, idx, gxyz, gfeat
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7, 8))
 def knn_group_pallas_diff(
     k: int,
     points: jnp.ndarray,
     queries: jnp.ndarray,
     feats: jnp.ndarray,
+    column_bias: jnp.ndarray | None = None,
     interpret: bool = False,
     exact: bool = True,
+    with_xyz: bool = True,
+    drop_first: bool = False,
 ):
     """Differentiable :func:`knn_group_pallas` (pallas_call has no AD rule).
 
@@ -1302,28 +1346,35 @@ def knn_group_pallas_diff(
     grouped xyz/feature cotangents scatter-add back to ``points`` /
     ``feats`` at the selected indices (the gather transpose,
     deterministic — ref's CUDA grads use atomicAdd,
-    ref:tf_ops/grouping/tf_grouping_g.cu:60-78).
+    ref:tf_ops/grouping/tf_grouping_g.cu:60-78).  The column bias gets
+    no gradient.
     """
     return knn_group_pallas(
         k,
         jax.lax.stop_gradient(points),
         jax.lax.stop_gradient(queries),
         jax.lax.stop_gradient(feats),
-        None,
+        None if column_bias is None else jax.lax.stop_gradient(column_bias),
         128,
         interpret,
         exact,
+        with_xyz,
+        drop_first,
     )
 
 
-def _knn_group_fwd(k, points, queries, feats, interpret, exact):
-    out = knn_group_pallas_diff(k, points, queries, feats, interpret, exact)
+def _knn_group_fwd(k, points, queries, feats, column_bias,
+                   interpret, exact, with_xyz, drop_first):
+    out = knn_group_pallas_diff(
+        k, points, queries, feats, column_bias, interpret, exact,
+        with_xyz, drop_first)
     _, idx, _, _ = out
-    return out, (points, queries, feats, idx)
+    return out, (points, queries, feats, column_bias, idx)
 
 
-def _knn_group_bwd(k, interpret, exact, res, cotangents):
-    points, queries, feats, idx = res
+def _knn_group_bwd(k, interpret, exact, with_xyz, drop_first,
+                   res, cotangents):
+    points, queries, feats, column_bias, idx = res
     g_dist, _, g_gxyz, g_gfeat = cotangents
 
     def scat(zeros, i, u):
@@ -1335,15 +1386,18 @@ def _knn_group_bwd(k, interpret, exact, res, cotangents):
     # gather transposes
     d_feats = scat(jnp.zeros_like(feats), idx,
                    g_gfeat.astype(feats.dtype))
-    d_points = scat(jnp.zeros_like(points), idx,
-                    g_gxyz.astype(points.dtype))
+    d_points = jnp.zeros_like(points)
+    if with_xyz and g_gxyz is not None:
+        d_points = scat(d_points, idx, g_gxyz.astype(points.dtype))
     # distance cotangent (selection fixed): d = |q - p_sel|^2
     neighbors = jax.vmap(lambda p, i: p[i])(points, idx)
     diff = queries[:, :, None, :] - neighbors
     contrib = 2.0 * g_dist[..., None] * diff
     d_queries = jnp.sum(contrib, axis=2)
     d_points = d_points + scat(jnp.zeros_like(points), idx, -contrib)
-    return d_points, d_queries, d_feats
+    d_bias = (None if column_bias is None
+              else jnp.zeros_like(column_bias))
+    return d_points, d_queries, d_feats, d_bias
 
 
 knn_group_pallas_diff.defvjp(_knn_group_fwd, _knn_group_bwd)

@@ -75,6 +75,34 @@ def main():
         print(f"A on-chip parity ({b},{n}): {'ok' if ok else 'MISMATCH'}",
               flush=True)
 
+    # ---- A2: backbone edge-conv shape (drop_first, feature keys) -----
+    from dispu_tpu.nn.edgeconv import edge_feature
+    from dispu_tpu.ops.pallas_kernels import knn_group_pallas as kgp
+
+    for (b, n, c) in ((64, 1024, 48), (64, 1024, 24), (32, 1024, 48)):
+        fe = jnp.asarray(R.randn(b, n, c), jnp.float32)
+        timed(f"A2 fused edge exact ({b},{n},c{c},k16)",
+              lambda f: edge_feature(f, 16, gather_impl="fused")[0],
+              (fe,), iters=10)
+        timed(f"A2 fused edge turbo ({b},{n},c{c},k16)",
+              lambda f: edge_feature(f, 16, gather_impl="fused_turbo")[0],
+              (fe,), iters=10)
+        timed(f"A2 composed edge hp ({b},{n},c{c},k16)",
+              lambda f: edge_feature(f, 16, gather_impl="onehot_hp")[0],
+              (fe,), iters=10)
+        timed(f"A2 composed edge gather ({b},{n},c{c},k16)",
+              lambda f: edge_feature(f, 16, gather_impl="gather")[0],
+              (fe,), iters=10)
+        # on-chip parity of the drop_first mode vs the composed path
+        e0, i0 = jax.jit(
+            lambda f: edge_feature(f, 16, gather_impl="onehot_hp"))(fe)
+        e1, i1 = jax.jit(
+            lambda f: edge_feature(f, 16, gather_impl="fused"))(fe)
+        ok = (bool(jnp.array_equal(i0, i1))
+              and bool(jnp.array_equal(e0, e1)))
+        print(f"A2 on-chip parity ({b},{n},c{c}): "
+              f"{'ok' if ok else 'MISMATCH'}", flush=True)
+
     # ---- B: in context ----------------------------------------------
     from dispu_tpu.config import GeneratorConfig
     from dispu_tpu.models.generator import DisPUGenerator

@@ -520,7 +520,7 @@ class TestKnnGroupPallas:
         fe = jnp.asarray(rng.randn(1, 40, 8), np.float32)
 
         def loss_fused(p, q_, f):
-            d, _, gx, gf = knn_group_pallas_diff(4, p, q_, f, True)
+            d, _, gx, gf = knn_group_pallas_diff(4, p, q_, f, None, True)
             return (jnp.sum(jnp.sin(d)) + jnp.sum(gx * gx)
                     + jnp.sum(jnp.cos(gf)))
 
@@ -536,6 +536,50 @@ class TestKnnGroupPallas:
         for a, b in zip(g_f, g_c):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_drop_first_matches_knn_unique_composition(self, rng):
+        """drop_first=True ≡ knn_unique(k+1)[:, :, 1:] + gather — the
+        edge-conv neighborhood build (ref:Common/ops.py:1856-1877)."""
+        from dispu_tpu.ops.knn import knn_unique, mask_duplicate_rows
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas
+
+        fe = jnp.asarray(rng.randn(2, 90, 48), np.float32)
+        # exact duplicate rows to exercise the unique bias
+        fe = fe.at[:, 7].set(fe[:, 3]).at[:, 11].set(fe[:, 3])
+        dup = mask_duplicate_rows(fe)
+
+        d, i, gx, gf = knn_group_pallas(
+            6, fe, fe, fe, dup.astype(jnp.float32) * 1e30,
+            interpret=True, with_xyz=False, drop_first=True)
+        assert gx is None
+        d0, i0 = knn_unique(7, fe, fe, impl="xla")
+        assert np.array_equal(np.asarray(i), np.asarray(i0[:, :, 1:]))
+        gf0 = jax.vmap(lambda t, ii: t[ii])(fe, i0[:, :, 1:])
+        assert np.array_equal(np.asarray(gf), np.asarray(gf0))
+
+    def test_wide_features_exact(self, rng):
+        """c > 128 (multi-lane-block tables) stays bit-exact."""
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas
+
+        pts = jnp.asarray(rng.randn(1, 70, 3), np.float32)
+        q = jnp.asarray(rng.randn(1, 30, 3), np.float32)
+        fe = jnp.asarray(rng.randn(1, 70, 200), np.float32)
+        _, i, _, gf = knn_group_pallas(5, pts, q, fe, interpret=True)
+        gf0 = jax.vmap(lambda t, ii: t[ii])(fe, i)
+        assert np.array_equal(np.asarray(gf), np.asarray(gf0))
+
+    def test_edge_feature_fused_falls_back_off_tpu(self, rng):
+        """edge_feature with fused impls must equal the composed path on
+        CPU (dispatch falls back) — and with precomputed idx too."""
+        from dispu_tpu.nn.edgeconv import edge_feature
+
+        fe = jnp.asarray(rng.randn(2, 80, 24), np.float32)
+        e0, i0 = edge_feature(fe, 8, gather_impl="gather")
+        e1, i1 = edge_feature(fe, 8, gather_impl="fused")
+        assert np.array_equal(np.asarray(i0), np.asarray(i1))
+        assert np.array_equal(np.asarray(e0), np.asarray(e1))
+        e2, _ = edge_feature(fe, 8, idx=i0, gather_impl="fused")
+        assert np.array_equal(np.asarray(e0), np.asarray(e2))
 
     def test_grouping_fused_falls_back_off_tpu(self, rng):
         """On CPU the 'fused' gather_impl must dispatch to the composed
