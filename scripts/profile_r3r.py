@@ -153,6 +153,43 @@ def main():
                              fast_gather_backbone=True, fused_grouping=True),
              batch=32, iters=10)
 
+    # ---- C: CD train step with fused grouping (fwd AND bwd) ----------
+    # the fused custom-VJP backward scatter-adds with XLA at[].add
+    # instead of the onehot_hp transpose matmul — measure both directions
+    from dispu_tpu.config import (ExperimentConfig, GeneratorConfig as GC,
+                                  TrainConfig)
+    from dispu_tpu.train.state import create_generator_state
+    from dispu_tpu.train.steps import make_train_step
+
+    gt = jnp.asarray(R.randn(28, 1024, 3) * 0.3, jnp.float32)
+    rad = jnp.ones((28,), jnp.float32)
+    for fused in (False, True):
+        cfg = ExperimentConfig(
+            generator=GC(fused_grouping=fused),
+            train=TrainConfig(batch_size=28))
+        step = make_train_step(cfg, mesh=None, donate=False)
+        tstate = create_generator_state(
+            jax.random.PRNGKey(0), cfg.generator, cfg.train)
+
+        @jax.jit
+        def loop(s0):
+            def body(s, _):
+                s2, mtr = step(s, gt, rad,
+                               jax.random.fold_in(jax.random.PRNGKey(1),
+                                                  s.step))
+                return s2, mtr["total"]
+            s, tot = jax.lax.scan(body, s0, None, length=20)
+            return s, tot
+
+        s2, tot = loop(tstate)
+        float(jnp.sum(tot))
+        t0 = time.perf_counter()
+        s2, tot = loop(tstate)
+        float(jnp.sum(tot))
+        ms = (time.perf_counter() - t0) / 20 * 1000
+        print(f"C CD step b=28 fused_grouping={fused} "
+              f"(r3 ref 36.23): {ms:.2f} ms/step", flush=True)
+
     print("done", flush=True)
 
 
