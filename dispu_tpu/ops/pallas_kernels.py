@@ -1187,7 +1187,7 @@ def knn_group_pallas(
     queries: jnp.ndarray,
     feats: jnp.ndarray,
     column_bias: jnp.ndarray | None = None,
-    tile_m: int = 128,
+    tile_m: int | None = None,
     interpret: bool = False,
     exact: bool = True,
     with_xyz: bool = True,
@@ -1203,8 +1203,10 @@ def knn_group_pallas(
       feats: (b, n, c) per-point features to gather, c ≤ 384.
       column_bias: optional (b, n) additive distance-column bias
         (duplicate masking — biased columns sort last).
-      tile_m: query rows per grid step (VMEM-bounded; 128 fits the
-        (n=4096, c=128) refiner shape).
+      tile_m: query rows per grid step; None = auto (256 below
+        n_pad = 2048, else 128 — the (n=4096, c=128) refiner shape fills
+        VMEM: tables ~5 MiB + the two knockout-chain tiles + the
+        (tm, k·cf) accumulator).
       exact: 3-term exact feature gather (default, values bit-identical
         to ``group_point(impl='gather')``); False = single bf16 term
         (turbo — values match ``group_point(impl='onehot')``).  xyz is
@@ -1236,6 +1238,10 @@ def knn_group_pallas(
     c_pad = _round_up(max(c3, 128), 128)
     cf = _round_up(max(c, 128), 128)
     k_pad = _round_up(max(k, 128), 128)
+    if tile_m is None:
+        # the (tm, k·cf) accumulator (plus its output block) scales with
+        # k·cf — stay at 128 rows for wide gathers and big clouds
+        tile_m = 256 if (n_pad <= 2048 and k * cf <= 2048) else 128
     tile_m = min(tile_m, _round_up(max(m, 8), 8))
     # VMEM: p(n·c_pad·4) + 3 bf16 feat terms(n·cf·2 each) + x9(n·16·2) +
     # the SSA knockout chain (2 · tm·n·4) + feat acc(tm·k·cf·4); cap the
@@ -1355,7 +1361,7 @@ def knn_group_pallas_diff(
         jax.lax.stop_gradient(queries),
         jax.lax.stop_gradient(feats),
         None if column_bias is None else jax.lax.stop_gradient(column_bias),
-        128,
+        None,
         interpret,
         exact,
         with_xyz,

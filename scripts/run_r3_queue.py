@@ -10,6 +10,7 @@ three run here back to back in a single grant.
         python -u scripts/run_r3_queue.py
 """
 
+import sys
 import time
 import traceback
 
@@ -17,6 +18,20 @@ from scripts import profile_r3o, profile_r3p, profile_r3q, profile_r3r
 
 
 def main():
+    # Probe the backend ONCE up front: during a pool outage the handshake
+    # raises UNAVAILABLE after ~25 min — without this, each queued script
+    # would burn its own 25-min doomed handshake.  Exit 17 so a wrapper
+    # loop can sleep and relaunch.
+    import jax
+
+    try:
+        print(f"probing backend {time.strftime('%H:%M:%S')} ...",
+              flush=True)
+        print("backend ok:", jax.devices(), flush=True)
+    except Exception:
+        traceback.print_exc()
+        print("BACKEND UNAVAILABLE", flush=True)
+        sys.exit(17)
     for name, mod in (("r3o", profile_r3o), ("r3p", profile_r3p),
                       ("r3q", profile_r3q), ("r3r", profile_r3r)):
         print(f"===== {name} start {time.strftime('%H:%M:%S')} =====",
