@@ -51,6 +51,30 @@ def parity_guard():
         jnp.array_equal(i_x, i_p) and jnp.array_equal(d_x, d_p)
     )
 
+    # packed turbo selection: contract guard.  Exact index equality does
+    # NOT hold even on random clouds (seed 7 has 22 truncation-tie swaps
+    # at lb=10 — measured, not hypothetical), so assert the documented
+    # contract instead: (a) returned distances are BIT-EXACTLY the exact
+    # path's with the low lane bits dropped, and (b) index deviations
+    # occur only at truncation-tie positions (adjacent truncated
+    # distances equal; the k=17 run exposes the boundary tie).
+    d_t, i_t = jax.jit(lambda p: knn_pallas(16, p, p, variant="packed"))(pts)
+    d_x17, i_x17 = jax.jit(lambda p: knn(17, p, p, impl="xla"))(pts)
+    lb = (1024 - 1).bit_length()  # the kernel's lane bits at n_pad=1024
+
+    def trunc(x):
+        b = jax.lax.bitcast_convert_type(x, jnp.int32)
+        return jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(b, jnp.int32(~((1 << lb) - 1))), jnp.float32)
+
+    tx = trunc(d_x17)
+    mism = i_t != i_x17[..., :16]
+    tie = tx[..., :16] == tx[..., 1:]
+    tie = tie.at[..., 1:].set(tie[..., 1:] | (tx[..., 1:16] == tx[..., :15]))
+    packed_ok = bool(
+        jnp.array_equal(d_t, tx[..., :16]) and jnp.all(~mism | tie)
+    )
+
     # FPS: VMEM-resident Pallas kernel vs XLA loop (bit-equal indices)
     f_x = jax.jit(lambda p: _fps_xla(256, p))(pts)
     f_p = jax.jit(lambda p: fps_pallas(256, p))(pts)
@@ -87,13 +111,14 @@ def parity_guard():
     )
 
     print(
-        "parity knn_pallas=%s fps_pallas=%s fps_bucketed=%s "
-        "onehot_hp_gather=%s ball_query=%s"
+        "parity knn_pallas=%s knn_packed_contract=%s fps_pallas=%s "
+        "fps_bucketed=%s onehot_hp_gather=%s ball_query=%s"
         % tuple("ok" if b else "MISMATCH"
-                for b in (knn_ok, fps_ok, bfps_ok, hp_ok, ball_ok))
+                for b in (knn_ok, packed_ok, fps_ok, bfps_ok, hp_ok,
+                          ball_ok))
     )
-    assert knn_ok and fps_ok and bfps_ok and hp_ok and ball_ok, \
-        "on-chip kernel parity failed"
+    assert (knn_ok and packed_ok and fps_ok and bfps_ok and hp_ok
+            and ball_ok), "on-chip kernel parity failed"
 
 
 def main():

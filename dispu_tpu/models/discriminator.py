@@ -16,6 +16,7 @@ import functools
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dispu_tpu.config import DiscriminatorConfig
@@ -57,17 +58,33 @@ def paired_neighborhoods_with_pred_indices(
     npoint = gt.shape[1] // cfg.downsample_ratio
     seeds = gather_point(gt, farthest_point_sample(npoint, gt))
 
-    def neighbor_idx(cloud, nsample, radius):
+    use_fused = (
+        cfg.fused_grouping and cfg.knn
+        and jax.default_backend() not in ("cpu", "gpu")
+        and gt.shape[1] <= 4096
+    )
+
+    def neighborhood(cloud, nsample, radius):
+        """(centered neighborhood, idx) of ``seeds`` in ``cloud``."""
+        if use_fused:
+            # one kernel for kNN + gather (bit-identical to the composed
+            # path; d_cloud via the gather scatter-add, selection fixed —
+            # same gradients as knn_indices + group_point)
+            from dispu_tpu.ops.pallas_kernels import knn_group_pallas_diff
+
+            _, idx, _, nbrs = knn_group_pallas_diff(
+                nsample, cloud, seeds, cloud, with_xyz=False)
+            return nbrs - seeds[:, :, None, :], idx
         if cfg.knn:
-            return knn_indices(nsample, cloud, seeds)
-        return query_ball_point(radius, nsample, cloud, seeds)[0]
+            idx = knn_indices(nsample, cloud, seeds)
+        else:
+            idx = query_ball_point(radius, nsample, cloud, seeds)[0]
+        return group_point(cloud, idx) - seeds[:, :, None, :], idx
 
     per_scale, pred_idx = [], []
     for radius, nsample in zip(cfg.radius_list, cfg.nsample_list):
-        idx_gt = neighbor_idx(gt, nsample, radius)
-        g_gt = group_point(gt, idx_gt) - seeds[:, :, None, :]
-        idx_p = neighbor_idx(pred, nsample, radius)
-        g_pred = group_point(pred, idx_p) - seeds[:, :, None, :]
+        g_gt, _ = neighborhood(gt, nsample, radius)
+        g_pred, idx_p = neighborhood(pred, nsample, radius)
         per_scale.append((g_gt, g_pred))
         pred_idx.append(idx_p)
     return (seeds, per_scale), pred_idx

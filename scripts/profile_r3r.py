@@ -190,6 +190,38 @@ def main():
         print(f"C CD step b=28 fused_grouping={fused} "
               f"(r3 ref 36.23): {ms:.2f} ms/step", flush=True)
 
+    # ---- D: GAN step with fused critic neighborhoods ------------------
+    from dispu_tpu.config import DiscriminatorConfig
+    from dispu_tpu.train.gan_steps import (create_gan_state,
+                                           make_gan_train_step)
+
+    for fused in (False, True):
+        cfg = ExperimentConfig(
+            generator=GC(fused_grouping=fused),
+            discriminator=DiscriminatorConfig(fused_grouping=fused),
+            train=TrainConfig(batch_size=28))
+        gstep = make_gan_train_step(cfg, mesh=None, donate=False)
+        gstate = create_gan_state(jax.random.PRNGKey(0), cfg)
+
+        @jax.jit
+        def gloop(s0):
+            def body(s, _):
+                s2, mtr = gstep(s, gt, rad,
+                                jax.random.fold_in(jax.random.PRNGKey(1),
+                                                   s.gen.step))
+                return s2, mtr["total"]
+            s, tot = jax.lax.scan(body, s0, None, length=20)
+            return s, tot
+
+        s2, tot = gloop(gstate)
+        float(jnp.sum(tot))
+        t0 = time.perf_counter()
+        s2, tot = gloop(gstate)
+        float(jnp.sum(tot))
+        ms = (time.perf_counter() - t0) / 20 * 1000
+        print(f"D GAN step b=28 fused={fused} (r3 ref 47.45): "
+              f"{ms:.2f} ms/step", flush=True)
+
     print("done", flush=True)
 
 

@@ -108,6 +108,33 @@ def test_shared_geometry_step_equivalence(rng):
     )
 
 
+def test_fused_grouping_flag_falls_back_off_tpu(rng):
+    """DiscriminatorConfig.fused_grouping must be value- and
+    gradient-neutral on CPU (the fused kernel is TPU-only; off-TPU the
+    composed path runs either way)."""
+    from dispu_tpu.models.discriminator import (
+        PatchDiscriminator,
+        split_real_fake,
+    )
+
+    gt = jnp.asarray(rng.randn(2, 128, 3), jnp.float32)
+    pred = jnp.asarray(rng.randn(2, 128, 3), jnp.float32)
+    outs, grads = [], []
+    for fused in (False, True):
+        disc = PatchDiscriminator(cfg=DiscriminatorConfig(
+            fused_grouping=fused))
+        variables = disc.init(jax.random.PRNGKey(3), pred, gt)
+        outs.append(np.asarray(disc.apply(variables, pred, gt)))
+
+        def g(p):
+            _, fake = split_real_fake(disc.apply(variables, p, gt))
+            return jnp.mean(fake**2)
+
+        grads.append(np.asarray(jax.grad(g)(pred)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(grads[0], grads[1])
+
+
 def test_shared_forward_grads(rng):
     """The shared-forward structure (one jax.vjp pullback) must produce
     the same generator update as differentiating the full composition

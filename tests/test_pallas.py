@@ -166,9 +166,12 @@ class TestKnnPallas:
     def test_packed_turbo_variant(self, rng):
         """'packed' (turbo) ranks by (truncated distance bits, lane).
 
-        On generic random clouds no two distances agree in the top
-        32-lane_bits bits, so indices must equal the exact variants';
-        distances are the keys truncated to those bits (relative error
+        At THIS size (2×120 queries, k=9, lane_bits=9) no two of this
+        seed's distances agree in the kept top bits, so indices equal the
+        exact variants' — but that is a property of the instance, not of
+        random clouds in general (bench.py's seed at 4×1024×k16/lb=10 has
+        22 truncation-tie swaps; its guard asserts the contract instead).
+        Distances are the keys truncated to the kept bits (relative error
         ≤ 2^-(23-lane_bits)).  Exact ties (duplicate points) must still
         resolve by lane order like the exact variants."""
         from dispu_tpu.ops.pallas_kernels import knn_pallas
