@@ -79,6 +79,10 @@ class DiscriminatorConfig:
     knn: bool = True
     downsample_ratio: int = 8    # critic pools to num_point/8 seeds
     radius_list: Tuple[float, ...] = (0.1, 0.2, 0.4)
+    # fused kNN+gather kernel for the paired seed neighborhoods (exact,
+    # bit-identical to the composed path; knn=True only).  Off until the
+    # on-chip measurement lands (scripts/profile_r3r.py).
+    fused_grouping: bool = False
 
     @property
     def nsample_list(self) -> Tuple[int, ...]:
@@ -213,6 +217,13 @@ class InferenceConfig:
     # approximation; quality deltas measured in PERFORMANCE.md)
     merge_fps: str = "exact"
     merge_fps_buckets: int = 64
+    # how the bucketed mode ranks points into Morton order: 'argsort'
+    # (bits=10 XLA sort — the measured 12 ms term at 16× merge scale) or
+    # 'radix' (bits=4 sort-free counting rank, ops.sampling.morton_rank;
+    # reorders only within 16³ morton cells).  Ignored when
+    # merge_fps='exact'.  Default pending the on-chip measurement
+    # (scripts/profile_r3s.py).
+    merge_fps_rank: str = "argsort"
     # NN-compute dtype for the generator forward at inference ('float32'
     # or 'bfloat16').  Geometry (xyz, kNN selection, merge FPS) always
     # stays f32 regardless — only the conv/attention stacks cast.  Part

@@ -114,8 +114,11 @@ class PatchUpsampler:
         ):
             from dispu_tpu.ops.sampling import farthest_point_sample_bucketed
 
+            rank = self.inf_cfg.merge_fps_rank
             idx = farthest_point_sample_bucketed(
-                out_num, all_points, n_buckets=self.inf_cfg.merge_fps_buckets
+                out_num, all_points,
+                n_buckets=self.inf_cfg.merge_fps_buckets,
+                rank_impl=rank, bits=4 if rank == "radix" else 10,
             )
             return all_points[idx]
         idx = farthest_point_sample(out_num, all_points[None])[0]

@@ -104,6 +104,55 @@ def morton_codes(xyz: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
     return code.astype(jnp.int32)
 
 
+def morton_rank(
+    codes: jnp.ndarray, n_bins: int, chunk: int = 2048
+) -> jnp.ndarray:
+    """Stable counting rank for small-alphabet int keys — sort-free.
+
+    Computes each element's position in the stable ascending sort of
+    ``codes`` (the inverse of ``jnp.argsort(codes)``) WITHOUT a sort: one
+    ``lax.scan`` over fixed-size chunks carries a running per-bin
+    histogram; within a chunk the stable intra-key offset is a
+    strictly-lower-triangular equality count (a (chunk, chunk) compare +
+    row-reduce — pure VPU work, no data-dependent control flow), and the
+    global key bases are an exclusive cumsum of the total histogram.
+    O(n·(chunk + n_bins)) elementwise work at sequential depth n/chunk,
+    vs the XLA sort's comparator network (~12 ms of the 14 ms bucketed
+    merge FPS at the 16× scale — PERFORMANCE.md).
+
+    Args:
+      codes: (n,) integer keys in [0, n_bins).
+      n_bins: static alphabet size (4096 for ``morton_codes(bits=4)``).
+      chunk: scan tile (static); n is padded to a multiple internally —
+        padding keys rank strictly after every real element.
+
+    Returns:
+      (n,) int32 ``pos`` — element i sorts to position ``pos[i]``; a
+      bijection onto [0, n), equal keys keeping their index order.
+    """
+    n = codes.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    # padded keys use n_bins-1 but sit AFTER every real element, so real
+    # positions are unchanged and padded positions land >= n
+    ch = jnp.full((n_pad,), n_bins - 1, codes.dtype).at[:n].set(codes)
+    ch = ch.reshape(n_pad // chunk, chunk)
+    bins = jnp.arange(n_bins, dtype=codes.dtype)
+    tri = jnp.arange(chunk)[:, None] > jnp.arange(chunk)[None, :]
+
+    def body(run_hist, c):
+        eq = c[:, None] == c[None, :]
+        off = jnp.sum(jnp.logical_and(eq, tri), axis=1, dtype=jnp.int32)
+        hist_c = jnp.sum(c[None, :] == bins[:, None], axis=1,
+                         dtype=jnp.int32)
+        return run_hist + hist_c, run_hist[c] + off
+
+    hist, within = jax.lax.scan(
+        body, jnp.zeros((n_bins,), jnp.int32), ch
+    )
+    start = jnp.cumsum(hist) - hist  # exclusive
+    return (start[ch] + within).reshape(-1)[:n]
+
+
 def _bucketed_local(m_b: int, buckets: jnp.ndarray, impl: str) -> jnp.ndarray:
     """Per-bucket FPS selections, (K', n_b, 3) → (K', m_b) local indices."""
     if impl == "auto":
@@ -121,6 +170,8 @@ def farthest_point_sample_bucketed(
     n_buckets: int = 64,
     impl: str = "auto",
     mesh=None,
+    rank_impl: str = "argsort",
+    bits: int = 10,
 ) -> jnp.ndarray:
     """Approximate FPS via spatially-partitioned parallel selection.
 
@@ -153,6 +204,18 @@ def farthest_point_sample_bucketed(
         (the bucket loops are independent, so the only communication is
         the output all-gather); bit-identical to the single-device path.
         Requires ``n_buckets`` divisible by the data-axis size.
+      rank_impl: how points are ranked into Morton order — 'argsort'
+        (XLA sort of the codes, the measured 12 ms term) or 'radix'
+        (sort-free counting rank via :func:`morton_rank` + one
+        permutation scatter; needs ``bits`` ≤ 4 so the 2^(3·bits)
+        alphabet fits one histogram).  Both are stable, so at EQUAL
+        ``bits`` they produce bit-identical buckets; 'radix' at bits=4
+        orders within each 16³ morton cell by original index instead of
+        finer morton rank — bucket-boundary cell splits and bucket seeds
+        shift, the same class of deviation the bucketed mode already
+        documents across bucket seams.
+      bits: morton quantization per axis (10 = the round-3 measured
+        default; 'radix' requires ≤ 4).
 
     Returns:
       (npoint,) int32 indices into ``xyz``, ordered round-robin by bucket
@@ -164,7 +227,23 @@ def farthest_point_sample_bucketed(
     n_b = max(-(-n // K), m_b)
     pad = K * n_b - n
 
-    order = jnp.argsort(morton_codes(xyz))
+    codes = morton_codes(xyz, bits=bits)
+    if rank_impl == "radix":
+        if bits > 4:
+            raise ValueError(
+                f"rank_impl='radix' needs bits <= 4 (2^(3*bits) histogram "
+                f"bins), got bits={bits}"
+            )
+        pos = morton_rank(codes, n_bins=1 << (3 * bits))
+        order = (
+            jnp.zeros((n,), jnp.int32)
+            .at[pos]
+            .set(jnp.arange(n, dtype=jnp.int32), unique_indices=True)
+        )
+    elif rank_impl == "argsort":
+        order = jnp.argsort(codes)
+    else:
+        raise ValueError(f"unknown rank_impl {rank_impl!r}")
     if pad:
         order = jnp.concatenate(
             [order, jnp.broadcast_to(order[-1:], (pad,))]

@@ -14,7 +14,8 @@ import sys
 import time
 import traceback
 
-from scripts import profile_r3o, profile_r3p, profile_r3q, profile_r3r
+from scripts import (profile_r3o, profile_r3p, profile_r3q, profile_r3r,
+                     profile_r3s)
 
 
 def main():
@@ -33,7 +34,8 @@ def main():
         print("BACKEND UNAVAILABLE", flush=True)
         sys.exit(17)
     for name, mod in (("r3o", profile_r3o), ("r3p", profile_r3p),
-                      ("r3q", profile_r3q), ("r3r", profile_r3r)):
+                      ("r3q", profile_r3q), ("r3r", profile_r3r),
+                      ("r3s", profile_r3s)):
         print(f"===== {name} start {time.strftime('%H:%M:%S')} =====",
               flush=True)
         try:

@@ -43,6 +43,28 @@ class TestPatchUpsampler:
         assert out.shape == (600, 3)
         assert np.isfinite(out).all()
 
+    def test_bucketed_merge_rank_impls_route(self, rng, variables):
+        """merge_fps='bucketed' routes merge_fps_rank through the
+        bucketed FPS: both rank impls produce a valid full-size output,
+        and (same seed cloud) they differ only by the documented
+        within-cell reordering — identical shapes, same bounding zone."""
+        pc = rng.randn(500, 3).astype(np.float32)
+        outs = []
+        for rank in ("argsort", "radix"):
+            up = PatchUpsampler(
+                variables, gen_cfg=GEN,
+                inf_cfg=InferenceConfig(
+                    final_ratio=4, patch_num_point=64, patch_batch=8,
+                    merge_fps="bucketed", merge_fps_buckets=16,
+                    merge_fps_rank=rank),
+            )
+            out = up.upsample(pc)
+            assert out.shape == (2000, 3)
+            assert np.isfinite(out).all()
+            outs.append(out)
+        # both selections draw from the same merged candidate set
+        assert abs(np.abs(outs[0]).max() - np.abs(outs[1]).max()) < 1.0
+
     def test_output_covers_input_region(self, rng, variables):
         # upsampled cloud must stay in the (normalized) input's bounding zone
         up = PatchUpsampler(

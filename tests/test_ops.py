@@ -189,6 +189,63 @@ class TestSampling:
             pk.fps_bucketed_pallas = orig
         np.testing.assert_array_equal(a, b_)
 
+    def test_morton_rank_matches_stable_argsort(self, rng):
+        """morton_rank is the inverse of jnp.argsort (stable) — exactly,
+        including heavy duplicate keys and n not a multiple of the scan
+        chunk (padding must not disturb real positions)."""
+        from dispu_tpu.ops.sampling import morton_rank
+
+        for n, n_bins, chunk in ((4096, 4096, 2048), (5000, 4096, 2048),
+                                 (300, 64, 256), (2048, 16, 512)):
+            codes = jnp.asarray(
+                rng.randint(0, n_bins, size=(n,)), jnp.int32)
+            pos = np.asarray(jax.jit(
+                lambda c: morton_rank(c, n_bins=n_bins, chunk=chunk)
+            )(codes))
+            # a bijection onto [0, n)
+            assert sorted(pos.tolist()) == list(range(n))
+            order = np.asarray(jnp.argsort(codes))  # stable by default
+            expect = np.empty(n, np.int64)
+            expect[order] = np.arange(n)
+            np.testing.assert_array_equal(pos, expect)
+
+    def test_bucketed_fps_radix_rank_equals_argsort_at_equal_bits(
+            self, rng):
+        """'radix' and 'argsort' ranking are both stable, so at the SAME
+        morton quantization they must produce bit-identical selections —
+        the only semantic delta of the radix mode is bits 10 → 4."""
+        xyz = jnp.asarray(rng.randn(3000, 3).astype(np.float32))
+        a = np.asarray(ops.farthest_point_sample_bucketed(
+            256, xyz, 16, rank_impl="argsort", bits=4))
+        b = np.asarray(ops.farthest_point_sample_bucketed(
+            256, xyz, 16, rank_impl="radix", bits=4))
+        np.testing.assert_array_equal(a, b)
+        with pytest.raises(ValueError):
+            ops.farthest_point_sample_bucketed(
+                256, xyz, 16, rank_impl="radix", bits=10)
+        with pytest.raises(ValueError):
+            ops.farthest_point_sample_bucketed(
+                256, xyz, 16, rank_impl="quick")
+
+    def test_bucketed_fps_radix_covers_like_exact(self, rng):
+        """The radix mode's bits=4 quantization keeps the same coverage
+        contract the bucketed mode documents (patchy merge-like cloud)."""
+        centers = rng.randn(12, 3).astype(np.float32)
+        pts = np.concatenate(
+            [c + 0.35 * rng.randn(340, 3).astype(np.float32)
+             for c in centers])
+        xyz, m = jnp.asarray(pts), 512
+        sel_r = np.asarray(ops.farthest_point_sample_bucketed(
+            m, xyz, 16, rank_impl="radix", bits=4))
+        sel_e = np.asarray(ops.farthest_point_sample(m, xyz[None]))[0]
+        assert len(set(sel_r.tolist())) == m
+
+        def coverage(sel):
+            d = np.linalg.norm(pts[:, None] - pts[sel][None], axis=-1)
+            return d.min(axis=1).max()
+
+        assert coverage(sel_r) <= 2.0 * coverage(sel_e)
+
     def test_bucketed_fps_sharded_matches_single(self, rng):
         """shard_map over the bucket axis (8-device mesh): bit-identical
         to the single-device path — the merge stage's multi-chip form."""
