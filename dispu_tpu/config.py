@@ -60,6 +60,13 @@ class GeneratorConfig:
     # Off by default until the on-chip measurement lands
     # (scripts/profile_r3r.py).
     fused_grouping: bool = False
+    # backbone DenseEdgeBlock evaluation: 'concat' (the reference's
+    # literal dataflow — each conv reads a concatenated (b,n,k,·) tensor)
+    # or 'split' (conv distributed over the concat parts; k-independent
+    # center terms, no wide edge activations — same math/params, f32 sum
+    # order differs ~1e-6; see nn.edgeconv.DenseEdgeBlock).  Default
+    # pending the on-chip measurement (scripts/profile_r3t.py).
+    dense_impl: str = "concat"
 
     @property
     def num_out_points(self) -> int:

@@ -58,6 +58,7 @@ class DisPUGenerator(nn.Module):
                       else cfg.gather_impl)
             ),
             knn_variant="packed" if cfg.fast_knn else "auto",
+            dense_impl=cfg.dense_impl,
             name="feature_extraction_coarse",
             **kw,
         )(inputs, train)
@@ -85,6 +86,7 @@ class DisPUGenerator(nn.Module):
                 dense_block=2,
                 dense_n=cfg.dense_n,
                 k=cfg.knn,
+                dense_impl=cfg.dense_impl,
                 name="feature_extraction_fine",
                 **kw,
             )(coarse, train)

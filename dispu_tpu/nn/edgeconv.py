@@ -10,7 +10,7 @@ surrounding ops.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -21,22 +21,20 @@ from dispu_tpu.ops.grouping import group_point
 from dispu_tpu.ops.knn import knn_unique_indices
 
 
-def edge_feature(
+def edge_parts(
     feature: jnp.ndarray,
     k: int,
     idx: Optional[jnp.ndarray] = None,
     gather_impl: str = "gather",
     knn_variant: str = "auto",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-edge tensor [center, neighbor − center].
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """kNN neighborhood of each point, NOT yet assembled into edges.
 
-    Args:
-      feature: (b, n, c) per-point features (xyz or learned).
-      k: neighbors per point (excluding self).
-      idx: optional precomputed (b, n, k) neighbor indices.
-
-    Returns:
-      (edges, idx): (b, n, k, 2c) and (b, n, k).
+    Returns ``(center, neighbors, idx)`` — (b, n, c), (b, n, k, c),
+    (b, n, k).  ``edge_feature`` concatenates these into the reference's
+    [center, neighbor − center] edge tensor; the ``dense_impl='split'``
+    EdgeConv path consumes the raw parts instead so the wide edge tensor
+    is never materialized.
 
     Parity: ref:Common/ops.py:1856-1877 — kNN with ``k+1`` in feature space,
     duplicates masked (unique=True), self/first column dropped.
@@ -67,11 +65,7 @@ def edge_feature(
                 with_xyz=False,
                 drop_first=True,
             )
-            center = jnp.broadcast_to(
-                feature[:, :, None, :], neighbors.shape
-            )
-            return (jnp.concatenate([center, neighbors - center], axis=-1),
-                    idx)
+            return feature, neighbors, idx
         gather_impl = "onehot_hp" if gather_impl == "fused" else "onehot"
     if idx is None:
         nbr = knn_unique_indices(k + 1, feature, feature, variant=knn_variant)
@@ -79,10 +73,113 @@ def edge_feature(
     if gather_impl in ("fused", "fused_turbo"):  # precomputed idx path
         gather_impl = "onehot_hp" if gather_impl == "fused" else "onehot"
     neighbors = group_point(feature, idx, impl=gather_impl)
-    center = jnp.broadcast_to(
-        feature[:, :, None, :], neighbors.shape
+    return feature, neighbors, idx
+
+
+def edge_feature(
+    feature: jnp.ndarray,
+    k: int,
+    idx: Optional[jnp.ndarray] = None,
+    gather_impl: str = "gather",
+    knn_variant: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-edge tensor [center, neighbor − center].
+
+    Args:
+      feature: (b, n, c) per-point features (xyz or learned).
+      k: neighbors per point (excluding self).
+      idx: optional precomputed (b, n, k) neighbor indices.
+
+    Returns:
+      (edges, idx): (b, n, k, 2c) and (b, n, k).
+
+    See :func:`edge_parts` for the kNN/gather semantics and the fused
+    kernel envelope.
+    """
+    center, neighbors, idx = edge_parts(
+        feature, k, idx, gather_impl=gather_impl, knn_variant=knn_variant
     )
+    center = jnp.broadcast_to(center[:, :, None, :], neighbors.shape)
     return jnp.concatenate([center, neighbors - center], axis=-1), idx
+
+
+class _PartsDense(nn.Module):
+    """``nn.Dense`` evaluated against a row-partitioned kernel.
+
+    Parameter name, shape, and init are IDENTICAL to the
+    ``nn.Dense(name='dense')`` inside :class:`~dispu_tpu.nn.layers.PointConv`
+    (same flax param path → same initial values, checkpoint-compatible);
+    only *apply* differs: instead of one matmul against a concatenated
+    input, each ``part_rows[i]`` row block multiplies its own signed term
+    list and the results broadcast-add.  ``concat([a, b]) @ W ==
+    a @ W[:ra] + b @ W[ra:]`` exactly in real arithmetic; in f32 only the
+    accumulation order changes (~1e-6 relative).  The win: k-independent
+    terms (the tiled center feature) enter as (b, n, 1, c) and their
+    matmul + HBM traffic drop by k×, and no concatenated (b, n, k, ·)
+    tensor is ever materialized.
+    """
+
+    features: int
+    part_rows: Tuple[int, ...]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        # parts: per row-block, a list of (array, sign) terms sharing that
+        # block's kernel rows; e.g. the edge block [center | nbr − center]
+        # becomes [[(center, +1)], [(nbr, +1), (center, -1)]].
+        from dispu_tpu.nn.layers import _glorot
+
+        total = sum(self.part_rows)
+        kernel = self.param(
+            "kernel", _glorot(), (total, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        arrays = [a for terms in parts for (a, _) in terms]
+        *arrays, kernel, bias = nn.dtypes.promote_dtype(
+            *arrays, kernel, bias, dtype=self.dtype
+        )
+        it = iter(arrays)
+        out, off = None, 0
+        for rows, terms in zip(self.part_rows, parts):
+            w = jax.lax.slice_in_dim(kernel, off, off + rows, axis=0)
+            off += rows
+            for _, sign in terms:
+                t = next(it) @ w
+                t = -t if sign < 0 else t
+                out = t if out is None else out + t
+        return out + bias
+
+
+class _SplitPointConv(nn.Module):
+    """PointConv over partitioned inputs — same param tree as PointConv
+    (``dense`` + optional ``bn``), split-matmul apply via _PartsDense."""
+
+    features: int
+    part_rows: Tuple[int, ...]
+    activation: Optional[Callable] = nn.relu
+    use_bn: bool = False
+    bn_momentum: float = 0.95
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts, train: bool = False) -> jnp.ndarray:
+        x = _PartsDense(
+            self.features, self.part_rows, dtype=self.dtype, name="dense"
+        )(parts)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=1e-3,  # match PointConv (ref:Common/tf_util.py:527)
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
 
 
 class DenseEdgeBlock(nn.Module):
@@ -104,6 +201,19 @@ class DenseEdgeBlock(nn.Module):
       * ``"v2"`` — ``dense_conv2`` (ref:Common/ops.py:1917-1930): center
         concat at layer 0 like default, but every layer keeps its ReLU
         (no linear last layer).
+
+    ``dense_impl`` selects the evaluation strategy (same math, same param
+    tree, checkpoint-compatible):
+      * ``"concat"`` — the literal reference dataflow above: each layer's
+        input is a concatenated (b, n, k, ·) tensor (up to 3g+c wide).
+      * ``"split"`` — distributes every conv over its concat parts
+        (``concat(a, b) @ W = a @ Wa + b @ Wb``) and the max-over-k over
+        the output concat.  The center feature stays (b, n, 1, c) — its
+        matmuls and HBM reads are k× cheaper — and only the narrow
+        (b, n, k, g) per-layer conv outputs ever materialize, cutting the
+        block's activation traffic ~3× (the pass-2 conv stack is
+        HBM-streaming-bound, PERFORMANCE.md speed-of-light table).  f32
+        accumulation order differs from 'concat' (~1e-6 relative).
     """
 
     growth_rate: int
@@ -114,6 +224,7 @@ class DenseEdgeBlock(nn.Module):
     gather_impl: str = "gather"  # see ops.grouping.group_point impls
     variant: str = "default"
     knn_variant: str = "auto"  # 'packed' = turbo selection (ops.knn.knn)
+    dense_impl: str = "concat"  # or 'split' (see class docstring)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -123,6 +234,10 @@ class DenseEdgeBlock(nn.Module):
         train: bool = False,
         idx: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.dense_impl == "split":
+            return self._split(feature, train, idx)
+        if self.dense_impl != "concat":
+            raise ValueError(f"unknown dense_impl {self.dense_impl!r}")
         y, idx = edge_feature(
             feature, self.k, idx, gather_impl=self.gather_impl,
             knn_variant=self.knn_variant,
@@ -149,6 +264,56 @@ class DenseEdgeBlock(nn.Module):
             else:
                 y = jnp.concatenate([conv(y, train), y], axis=-1)
         return jnp.max(y, axis=-2), idx
+
+    def _split(
+        self,
+        feature: jnp.ndarray,
+        train: bool,
+        idx: Optional[jnp.ndarray],
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """dense_impl='split': part-distributed evaluation.
+
+        Derivation from the 'concat' dataflow — layer inputs are
+          l0: [center | nbr − center]          (both row blocks width c)
+          l1: [out0 (| center)]                ('v0' drops the center)
+          l2: [out1 | out0 (| center)]
+        and the block output is max_k of [out_{n−1} | … | out_0 (| center)];
+        max over k distributes over the channel concat, and the tiled
+        center's max is the center itself.
+        """
+        center, nbr, idx = edge_parts(
+            feature, self.k, idx, gather_impl=self.gather_impl,
+            knn_variant=self.knn_variant,
+        )
+        c, g = feature.shape[-1], self.growth_rate
+        c1 = center[:, :, None, :]  # (b, n, 1, c) — k-independent terms
+        outs = []
+        for i in range(self.n):
+            last_linear = self.variant != "v2" and i == self.n - 1
+            if i == 0:
+                part_rows = (c, c)
+                parts = [[(c1, +1)], [(nbr, +1), (c1, -1)]]
+            else:
+                prev = outs[::-1]  # out_{i-1} first, matching the concat
+                part_rows = tuple(g for _ in prev)
+                parts = [[(o, +1)] for o in prev]
+                if self.variant != "v0":
+                    part_rows += (c,)
+                    parts.append([(c1, +1)])
+            out_i = _SplitPointConv(
+                g,
+                part_rows,
+                activation=None if last_linear else nn.relu,
+                use_bn=self.use_bn,
+                bn_momentum=self.bn_momentum,
+                dtype=self.dtype,
+                name=f"l{i}",
+            )(parts, train)
+            outs.append(out_i)
+        pieces = [jnp.max(o, axis=-2) for o in outs[::-1]]
+        if self.variant != "v0":
+            pieces.append(center)
+        return jnp.concatenate(pieces, axis=-1), idx
 
 
 class EdgeConv(nn.Module):
@@ -194,6 +359,7 @@ class FeatureExtractorGCN(nn.Module):
     bn_momentum: float = 0.95
     gather_impl: str = "gather"  # see ops.grouping.group_point impls
     knn_variant: str = "auto"  # 'packed' = turbo selection (ops.knn.knn)
+    dense_impl: str = "concat"  # or 'split' (see DenseEdgeBlock)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -203,7 +369,8 @@ class FeatureExtractorGCN(nn.Module):
             use_bn=self.use_bn, bn_momentum=self.bn_momentum, dtype=self.dtype
         )
         bkw = dict(
-            gather_impl=self.gather_impl, knn_variant=self.knn_variant, **kw
+            gather_impl=self.gather_impl, knn_variant=self.knn_variant,
+            dense_impl=self.dense_impl, **kw
         )
         feat = PointConv(24, activation=None, name="layer0", **kw)(xyz, train)
         out, _ = DenseEdgeBlock(

@@ -15,7 +15,7 @@ import time
 import traceback
 
 from scripts import (profile_r3o, profile_r3p, profile_r3q, profile_r3r,
-                     profile_r3s)
+                     profile_r3s, profile_r3t)
 
 
 def main():
@@ -35,7 +35,7 @@ def main():
         sys.exit(17)
     for name, mod in (("r3o", profile_r3o), ("r3p", profile_r3p),
                       ("r3q", profile_r3q), ("r3r", profile_r3r),
-                      ("r3s", profile_r3s)):
+                      ("r3s", profile_r3s), ("r3t", profile_r3t)):
         print(f"===== {name} start {time.strftime('%H:%M:%S')} =====",
               flush=True)
         try:

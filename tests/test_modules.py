@@ -171,3 +171,93 @@ class TestPermutedRowDense:
         np.testing.assert_allclose(
             np.asarray(out_perm), np.asarray(out_plain), atol=1e-6
         )
+
+
+class TestSplitDenseEdgeBlock:
+    """dense_impl='split' distributes each conv over its concat parts —
+    same param tree, same math; only f32 summation order differs."""
+
+    @pytest.mark.parametrize("variant", ["default", "v0", "v2"])
+    @pytest.mark.parametrize("use_bn", [False, True])
+    def test_matches_concat(self, variant, use_bn):
+        from dispu_tpu.nn.edgeconv import DenseEdgeBlock
+
+        rng = np.random.RandomState(11)
+        feat = jnp.asarray(rng.randn(2, 48, 13), jnp.float32)
+        kw = dict(growth_rate=8, n=3, k=6, use_bn=use_bn, variant=variant)
+        ref = DenseEdgeBlock(dense_impl="concat", **kw)
+        spl = DenseEdgeBlock(dense_impl="split", **kw)
+
+        v_ref = ref.init(jax.random.PRNGKey(0), feat)
+        v_spl = spl.init(jax.random.PRNGKey(0), feat)
+        # identical param trees (paths, shapes, AND values: same flax
+        # param paths -> same init streams), so checkpoints interop
+        jax.tree_util.tree_map(
+            lambda p, q: np.testing.assert_array_equal(
+                np.asarray(p), np.asarray(q)),
+            v_ref, v_spl,
+        )
+
+        (o_ref, i_ref), _ = ref.apply(
+            v_ref, feat, train=True, mutable=["batch_stats"])
+        (o_spl, i_spl), _ = spl.apply(
+            v_ref, feat, train=True, mutable=["batch_stats"])
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_spl))
+        np.testing.assert_allclose(
+            np.asarray(o_spl), np.asarray(o_ref), rtol=2e-5, atol=2e-6)
+
+    def test_gradients_match(self):
+        from dispu_tpu.nn.edgeconv import DenseEdgeBlock
+
+        rng = np.random.RandomState(12)
+        feat = jnp.asarray(rng.randn(2, 48, 13), jnp.float32)
+        kw = dict(growth_rate=8, n=3, k=6)
+        ref = DenseEdgeBlock(dense_impl="concat", **kw)
+        spl = DenseEdgeBlock(dense_impl="split", **kw)
+        v = ref.init(jax.random.PRNGKey(1), feat)
+
+        def loss(mod, params, x):
+            out, _ = mod.apply(params, x)
+            return jnp.sum(out**2)
+
+        g_ref = jax.grad(lambda p: loss(ref, p, feat))(v)
+        g_spl = jax.grad(lambda p: loss(spl, p, feat))(v)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4),
+            g_ref, g_spl,
+        )
+        gx_ref = jax.grad(lambda x: loss(ref, v, x))(feat)
+        gx_spl = jax.grad(lambda x: loss(spl, v, x))(feat)
+        np.testing.assert_allclose(
+            np.asarray(gx_spl), np.asarray(gx_ref), rtol=5e-4, atol=1e-4)
+
+    def test_backbone_and_generator_knob(self):
+        """FeatureExtractorGCN / GeneratorConfig.dense_impl plumb through
+        and match the concat path at f32 tolerance."""
+        from dispu_tpu.config import GeneratorConfig
+        from dispu_tpu.models.generator import DisPUGenerator
+        from dispu_tpu.nn.edgeconv import FeatureExtractorGCN
+
+        rng = np.random.RandomState(13)
+        xyz = jnp.asarray(rng.randn(2, 64, 3), jnp.float32)
+        fe_ref = FeatureExtractorGCN(dense_block=2, k=8)
+        fe_spl = FeatureExtractorGCN(dense_block=2, k=8, dense_impl="split")
+        v = fe_ref.init(jax.random.PRNGKey(2), xyz)
+        np.testing.assert_allclose(
+            np.asarray(fe_spl.apply(v, xyz)),
+            np.asarray(fe_ref.apply(v, xyz)),
+            rtol=2e-5, atol=2e-6)
+
+        cfg = GeneratorConfig(num_points=64, knn=8, refine_nsample=8)
+        gen_ref = DisPUGenerator(cfg=cfg)
+        gen_spl = DisPUGenerator(
+            cfg=GeneratorConfig(num_points=64, knn=8, refine_nsample=8,
+                                dense_impl="split"))
+        vg = gen_ref.init(jax.random.PRNGKey(3), xyz)
+        c_ref, f_ref = gen_ref.apply(vg, xyz)
+        c_spl, f_spl = gen_spl.apply(vg, xyz)
+        np.testing.assert_allclose(
+            np.asarray(c_spl), np.asarray(c_ref), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(f_spl), np.asarray(f_ref), rtol=1e-4, atol=1e-5)
