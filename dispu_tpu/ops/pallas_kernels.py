@@ -1086,11 +1086,13 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
     the edge-conv composition ``knn_unique(k+1)[:, :, 1:]`` (self column
     dropped) in one kernel, with no gather on the dropped round.
 
-    Kept round ``slot`` lands in output slot ``slot`` via
-    statically-offset ``dynamic_update_slice`` (features: lane-block
-    slot·cf of a (tm, k·cf) accumulator — 128-aligned; xyz: plane slot
-    of a (k, tm, 16) accumulator — sublane-major), and every accumulator
-    hits its ref once.
+    Kept rounds collect their gather results in Python lists (the loop
+    is statically unrolled) and land in the refs via ONE concatenate per
+    output — features lane-concatenated into (tm, k·cf) (128-aligned
+    blocks), xyz stacked plane-major into (k, tm, 16).  No
+    dynamic_update_slice: Mosaic has no TPU lowering for it (the
+    original accumulator formulation failed real-chip compilation even
+    with static offsets), and each ref is still written exactly once.
 
     Replaces ``knn_pallas`` + the combined [xyz|feature] ``group_point``
     of ``ops.grouping.grouping`` (ref:Common/ops.py:154-179) and the
@@ -1131,10 +1133,10 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
         dc = d
         idx_acc = jnp.zeros((tm, k_pad), jnp.int32)
         dist_acc = jnp.zeros((tm, k_pad), jnp.float32)
-        feat_acc = jnp.zeros((tm, k * cf), jnp.float32)
+        feat_parts = []  # k × (tm, cf); one lane-concat at the end
         if with_xyz:
             x9 = rest[0][0]  # (n_pad, 16) bf16 — xyz 3-term columns
-            x9_acc = jnp.zeros((k, tm, 16), jnp.float32)
+            x9_parts = []  # k × (tm, 16); one plane-stack at the end
         rounds = k + 1 if drop_first else k
         for j in range(rounds):
             mv2 = jnp.min(dc, axis=1, keepdims=True)
@@ -1153,18 +1155,16 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
             for ft in fts[1:]:
                 g = g + jax.lax.dot_general(
                     onehot, ft, dn, preferred_element_type=jnp.float32)
-            feat_acc = jax.lax.dynamic_update_slice(
-                feat_acc, g, (0, slot * cf))
+            feat_parts.append(g)
             if with_xyz:
                 g9 = jax.lax.dot_general(
                     onehot, x9, dn, preferred_element_type=jnp.float32)
-                x9_acc = jax.lax.dynamic_update_slice(
-                    x9_acc, g9[None], (slot, 0, 0))
+                x9_parts.append(g9)
         idx_ref[0] = idx_acc
         dist_ref[0] = dist_acc
-        feat_ref[0] = feat_acc
+        feat_ref[0] = jnp.concatenate(feat_parts, axis=1)
         if with_xyz:
-            out_refs[3][0] = x9_acc
+            out_refs[3][0] = jnp.stack(x9_parts, axis=0)
 
     return kernel
 
