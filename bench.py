@@ -36,10 +36,11 @@ def parity_guard():
     from dispu_tpu.ops.pallas_kernels import (
         fps_bucketed_pallas,
         fps_pallas,
+        knn_group_pallas,
         knn_pallas,
         query_ball_pallas,
     )
-    from dispu_tpu.ops.sampling import _fps_xla
+    from dispu_tpu.ops.sampling import _fps_xla, morton_codes, morton_rank
 
     rng = np.random.RandomState(7)
     pts = jnp.asarray(rng.randn(4, 1024, 3), jnp.float32)
@@ -97,6 +98,44 @@ def parity_guard():
     )
     hp_ok = bool(jnp.array_equal(g_ref, g_hp))
 
+    # fused kNN+gather (exact mode) vs the composed path: dists/idx must
+    # be bit-equal; the gathered values are NOT bit-exact on real
+    # hardware (interpret mode is).  Measured contract (round 3):
+    # features hold f32 round-off (5.1e-6 — the in-kernel MXU
+    # accumulation order differs from the XLA onehot_hp contraction) but
+    # the xyz 3-term reconstruction degrades to bf16-grade on chip
+    # (2.1e-3 ≈ one bf16 term's rounding; the t2/t3 correction terms do
+    # not survive the hardware path — open round-4 kernel item).  Within
+    # the turbo envelope (backbone bf16 gathers already accept ~1e-2);
+    # fused_grouping stays opt-in/turbo-only.  Bounds assert the
+    # measured contract with 2x headroom.
+    feats131 = jnp.asarray(rng.randn(4, 1024, 131), jnp.float32)
+    df_c, if_c = jax.jit(lambda p: knn(16, p, p))(pts)
+    gx_c = jax.jit(lambda p, i: group_point(p, i))(pts, if_c)
+    gf_c = jax.jit(lambda f, i: group_point(f, i))(feats131, if_c)
+    df_f, if_f, gx_f, gf_f = jax.jit(
+        lambda p, f: knn_group_pallas(16, p, p, f))(pts, feats131)
+    scale_x = float(jnp.max(jnp.abs(gx_c)))
+    scale_f = float(jnp.max(jnp.abs(gf_c)))
+    dev_x = float(jnp.max(jnp.abs(gx_c - gx_f))) / scale_x
+    dev_f = float(jnp.max(jnp.abs(gf_c - gf_f))) / scale_f
+    print(f"fused gather value dev: xyz {dev_x:.2e}  feat {dev_f:.2e} "
+          "(rel to max|value|)")
+    fused_ok = bool(
+        jnp.array_equal(df_c, df_f) and jnp.array_equal(if_c, if_f)
+        and dev_x <= 4e-3 and dev_f <= 1e-5
+    )
+
+    # sort-free Morton counting rank (bucketed-merge 'radix' mode) vs the
+    # stable argsort it replaces: exact inverse-permutation equality
+    cloud = jnp.asarray(rng.randn(50_000, 3), jnp.float32)
+    codes4 = jax.jit(lambda c: morton_codes(c, bits=4))(cloud)
+    pos = jax.jit(lambda c: morton_rank(c, 4096))(codes4)
+    sigma = jnp.argsort(codes4, stable=True)
+    radix_ok = bool(
+        jnp.array_equal(pos[sigma], jnp.arange(cloud.shape[0]))
+    )
+
     # ball query: fused masked-min kernel vs the XLA top_k-over-keys path
     # (bit-equal indices AND counts — the repulsion/uniform losses and the
     # discriminator's SA grouping ride this op)
@@ -112,13 +151,15 @@ def parity_guard():
 
     print(
         "parity knn_pallas=%s knn_packed_contract=%s fps_pallas=%s "
-        "fps_bucketed=%s onehot_hp_gather=%s ball_query=%s"
+        "fps_bucketed=%s onehot_hp_gather=%s ball_query=%s "
+        "fused_knn_gather=%s morton_rank=%s"
         % tuple("ok" if b else "MISMATCH"
                 for b in (knn_ok, packed_ok, fps_ok, bfps_ok, hp_ok,
-                          ball_ok))
+                          ball_ok, fused_ok, radix_ok))
     )
     assert (knn_ok and packed_ok and fps_ok and bfps_ok and hp_ok
-            and ball_ok), "on-chip kernel parity failed"
+            and ball_ok and fused_ok and radix_ok), \
+        "on-chip kernel parity failed"
 
 
 def main():
@@ -130,11 +171,18 @@ def main():
 
     parity_guard()
 
-    # 4x: 256 -> 1024, in the turbo inference configuration: one-hot MXU
-    # neighborhood gathers in the refiner (output dev ≤2e-4) and backbone
-    # (dev ~1e-2) — see PERFORMANCE.md.  Training/parity runs use the
-    # default exact gathers.
-    cfg = GeneratorConfig(fast_gather=True, fast_gather_backbone=True)
+    # 4x: 256 -> 1024, in the turbo serving configuration (PERFORMANCE.md
+    # "Round-3 turbo flags"): bf16 one-hot MXU gathers in refiner+backbone
+    # (output dev ≤2e-4 / ~1e-2), packed-key kNN selection (near-ties at
+    # the truncated-mantissa boundary resolve by lane), the fused
+    # kNN+gather kernel (values at f32 round-off) and the part-split
+    # dense EdgeConv (same math, f32 sum order).  Measured best combo on
+    # chip (scripts/profile_r3u.py §A: 2292 vs 2110 patches/sec for the
+    # round-2 turbo flags, same session).  Training/parity runs use the
+    # default exact path.
+    cfg = GeneratorConfig(fast_gather=True, fast_gather_backbone=True,
+                          fast_knn=True, fused_grouping=True,
+                          dense_impl="split")
     model = DisPUGenerator(cfg=cfg)
     batch = 64  # patches per device step; the TPU pipeline batches patches
     iters = 20

@@ -103,6 +103,19 @@ def parse_args():
                    help="persistent XLA compilation cache directory — "
                         "restarts skip the 20-40s trace+compile of the "
                         "train/inference programs")
+    p.add_argument("--turbo", type=str2bool, default=False,
+                   help="test/export phases: the measured-best serving "
+                        "flags (bf16 one-hot gathers, packed-key kNN "
+                        "selection, fused kNN+gather kernel, part-split "
+                        "dense EdgeConv, bucketed merge FPS) — near-"
+                        "round-off output deviations, see PERFORMANCE.md "
+                        "'Round-3 turbo flags'; ignored for training")
+    p.add_argument("--dense_impl", default="concat",
+                   choices=["concat", "split"],
+                   help="dense EdgeConv evaluation: 'split' distributes "
+                        "each conv over the concat parts — same math and "
+                        "params, f32 sum-order deviation only, measurably "
+                        "faster (any phase)")
     return p.parse_args()
 
 
@@ -116,9 +129,13 @@ def build_config(args):
         TrainConfig,
     )
 
+    turbo = bool(args.turbo) and args.phase in ("test", "export")
     return ExperimentConfig(
         generator=GeneratorConfig(
-            up_ratio=args.up_ratio, num_points=args.patch_num_point
+            up_ratio=args.up_ratio, num_points=args.patch_num_point,
+            dense_impl="split" if turbo else args.dense_impl,
+            fast_gather=turbo, fast_gather_backbone=turbo,
+            fast_knn=turbo, fused_grouping=turbo,
         ),
         loss=LossConfig(
             use_repulsion=args.use_repulse,
@@ -161,6 +178,7 @@ def build_config(args):
             patch_num_ratio=args.patch_num_ratio,
             patch_batch=args.patch_batch,
             compute_dtype=args.compute_dtype,
+            merge_fps="bucketed" if turbo else "exact",
         ),
         use_gan=args.use_gan,
         log_dir=args.log_dir,

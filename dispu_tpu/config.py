@@ -54,11 +54,15 @@ class GeneratorConfig:
     gather_impl: str = "onehot_hp"
     # fused kNN+gather kernel for the refiner's xyz grouping: the
     # selection rounds' knockout masks double as one-hot MXU gather
-    # operands, removing the separate wide gather pass.  Bit-identical to
-    # the exact composed path (kNN 'auto' + exact gather); composes with
-    # fast_gather (features bf16-round like 'onehot', xyz stays exact).
-    # Off by default until the on-chip measurement lands
-    # (scripts/profile_r3r.py).
+    # operands, removing the separate wide gather pass.  dists/idx are
+    # bit-identical to the composed path; on real hardware the gathered
+    # features hold f32 round-off (5.1e-6) but xyz degrades to bf16
+    # grade (2.1e-3 — bench.parity_guard bounds both), so this is a
+    # TURBO-envelope path.
+    # Measured on chip (scripts/profile_r3u.py): the kernel LOSES to the
+    # composed path at the (32,4096,c128) refiner shape (67.0 vs
+    # 47.8 ms — fitting the 16 MiB VMEM envelope forces tile_m=64) and
+    # its turbo mode only ties there (46.3 ms), so it stays opt-in.
     fused_grouping: bool = False
     # backbone DenseEdgeBlock evaluation: 'concat' (the reference's
     # literal dataflow — each conv reads a concatenated (b,n,k,·) tensor)
@@ -225,11 +229,14 @@ class InferenceConfig:
     merge_fps: str = "exact"
     merge_fps_buckets: int = 64
     # how the bucketed mode ranks points into Morton order: 'argsort'
-    # (bits=10 XLA sort — the measured 12 ms term at 16× merge scale) or
-    # 'radix' (bits=4 sort-free counting rank, ops.sampling.morton_rank;
-    # reorders only within 16³ morton cells).  Ignored when
-    # merge_fps='exact'.  Default pending the on-chip measurement
-    # (scripts/profile_r3s.py).
+    # (bits=10 XLA sort) or 'radix' (bits=4 sort-free counting rank,
+    # ops.sampling.morton_rank; reorders only within 16³ morton cells).
+    # Ignored when merge_fps='exact'.  Measured on-chip
+    # (scripts/profile_r3s.py): the XLA sort costs 1.7 ms at the 16×
+    # merge scale — NOT the ~12 ms the round-3 session attributed to it —
+    # and the counting rank is slower (6.4 ms; bucketed FPS e2e 9.1 ms
+    # argsort vs 14.9 ms radix at K=64), so 'argsort' stays the default
+    # and 'radix' exists as a tested alternative only.
     merge_fps_rank: str = "argsort"
     # NN-compute dtype for the generator forward at inference ('float32'
     # or 'bfloat16').  Geometry (xyz, kNN selection, merge FPS) always

@@ -41,15 +41,19 @@ def edge_parts(
 
     ``gather_impl='fused'``/``'fused_turbo'`` computes the kNN and the
     neighbor gather in one Pallas kernel (``drop_first`` mode — the self
-    column is selected and knocked out but never gathered); exact mode is
-    bit-identical to the composed path, turbo bf16-rounds the gathered
-    values like ``impl='onehot'``.  Falls back to the composed path
-    off-TPU, for precomputed ``idx``, or outside the kernel's envelope.
+    column is selected and knocked out but never gathered); idx is
+    bit-identical to the composed path; gathered values agree to f32
+    round-off on real hardware in exact mode (the in-kernel MXU
+    accumulation order differs — see ``ops.grouping.grouping``), and
+    turbo bf16-rounds them like ``impl='onehot'``.  Falls back to the
+    composed path off-TPU, for precomputed ``idx``, or outside the
+    kernel's envelope (n > 2048 pays the VMEM-forced small tile —
+    measured in scripts/profile_r3u.py §K).
     """
     if idx is None and gather_impl in ("fused", "fused_turbo"):
         fits = (
             jax.default_backend() not in ("cpu", "gpu")
-            and 64 <= feature.shape[-2] <= 4096
+            and 64 <= feature.shape[-2] <= 2048
             and feature.shape[-1] <= 384
             and k + 1 <= 128
         )

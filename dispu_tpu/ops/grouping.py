@@ -238,16 +238,27 @@ def grouping(
     Pallas kernel (:func:`dispu_tpu.ops.pallas_kernels.knn_group_pallas`):
     the selection rounds' knockout masks double as one-hot gather operands
     on the MXU, so the grouped tensor costs no separate gather pass.
-    Outputs are bit-identical to the exact composed path (kNN 'auto' +
-    combined exact gather); ``'fused_turbo'`` bf16-rounds the gathered
-    FEATURES exactly like ``impl='onehot'`` while xyz stays exact.  Both
-    fall back to the composed path off-TPU or when the cloud exceeds the
-    kernel's VMEM envelope (n > 4096 or c > 128).
+    kNN dists/idx are bit-identical to the composed path.  Gathered
+    values on REAL hardware (interpret mode is bit-exact): features hold
+    f32 round-off (measured 5.1e-6 relative — in-kernel MXU accumulation
+    order), but the xyz 3-term reconstruction degrades to bf16-grade
+    (measured 2.1e-3 — the correction terms do not survive the hardware
+    path; open kernel item).  ``bench.parity_guard`` prints and bounds
+    both every session (4e-3 / 1e-5).  ``'fused_turbo'`` additionally
+    bf16-rounds the gathered FEATURES like ``impl='onehot'``.  Both
+    modes are therefore TURBO-envelope paths; they fall back to the
+    composed path off-TPU and above the measured win region (n > 2048
+    or c > 384 — see the gate below).
     """
     if use_knn and gather_impl in ("fused", "fused_turbo"):
+        # n ≤ 2048: measured on chip (scripts/profile_r3u.py §K) — the
+        # kernel wins 19.1 → 13.8 ms (exact) / 10.6 (turbo) at
+        # (64,1024,c128), but at (32,4096,c128) fitting the 16 MiB VMEM
+        # envelope forces tile_m=64 and it loses to the composed path
+        # (67.0 vs 47.8 ms), so big clouds take the composed route
         fits = (
             jax.default_backend() not in ("cpu", "gpu")
-            and src_xyz.shape[1] <= 4096
+            and src_xyz.shape[1] <= 2048
             and feature.shape[-1] <= 384
             and src_xyz.shape[-1] == 3
         )

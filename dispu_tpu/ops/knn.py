@@ -33,10 +33,33 @@ def mask_duplicate_rows(points: jnp.ndarray) -> jnp.ndarray:
     Parity: ref:tf_ops/grouping/tf_grouping.py:78-91
     (``find_duplicate_columns`` via np.unique keeps the first occurrence and
     flags the rest; used to push duplicates out of the top-k window).
+
+    The (..., n, n, c) broadcast equality is the fastest form at the
+    shipping shapes (XLA fuses compare+reduce), but its logical operands
+    scale as n²·c — at (32, 4096, 24) the compiler materializes the
+    broadcast operands (~24 GB) and rejects the program (measured,
+    scripts/profile_r3t.py round 3; every n ≤ 1024 shipping shape
+    compiles fused and fast).  Above n = 2048 the equality accumulates
+    over the coordinate axis instead: a fori_loop carrying one
+    (..., n, n) bool plane, identical result, O(n²) live memory.
     """
-    eq = jnp.all(points[..., :, None, :] == points[..., None, :, :], axis=-1)
     n = points.shape[-2]
+    c = points.shape[-1]
     earlier = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)
+    if n <= 2048:
+        eq = jnp.all(
+            points[..., :, None, :] == points[..., None, :, :], axis=-1
+        )
+        return jnp.any(eq & earlier, axis=-1)
+
+    def body(j, acc):
+        col = jax.lax.dynamic_index_in_dim(points, j, axis=-1,
+                                           keepdims=False)
+        return acc & (col[..., :, None] == col[..., None, :])
+
+    eq = jax.lax.fori_loop(
+        0, c, body, jnp.ones((*points.shape[:-1], n), dtype=bool)
+    )
     return jnp.any(eq & earlier, axis=-1)
 
 

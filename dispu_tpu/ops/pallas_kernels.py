@@ -262,8 +262,10 @@ def _make_knn_kernel(k: int, variant: str = "maskout"):
       maskout's upfront tile copy is not amortized (3.68 vs 4.36 ms at
       (64, 256, k=17)).
 
-    ``knn_pallas(variant="auto")`` picks by n_pad (measured crossover:
-    maskout wins everywhere tried at n_pad ≥ 512, k=1 included).
+    ``knn_pallas(variant="auto")`` picks by n_pad (measured,
+    scripts/profile_r3o.py: unroll wins at n_pad 256/1024/4096 — the SSA
+    chain drops the per-round scratch load — while maskout keeps a
+    narrow win at exactly n_pad=512, 3.83 vs 4.55 ms at (64,512,k16)).
     """
 
     def kernel(pts_ref, q_ref, bias_ref, idx_ref, dist_ref, *scratch):
@@ -439,8 +441,8 @@ def knn_pallas(
         (used for duplicate masking — biased columns sort last).
       tile_m: query rows per grid step.
       variant: selection formulation — 'maskout', 'walk', 'unroll', or
-        'auto' (maskout for n_pad ≥ 512, walk below; measured crossover,
-        see ``_make_knn_kernel``).  Bit-identical outputs for all of
+        'auto' (unroll everywhere except the measured maskout win at
+        n_pad=512; see ``_make_knn_kernel``).  Bit-identical outputs for all of
         these.  'packed' is the TURBO variant: selection ranks one
         sortable int32 key per lane (f32 distance bits with the low
         ``ceil(log2(n_pad))`` mantissa bits replaced by the lane index),
@@ -462,11 +464,13 @@ def knn_pallas(
     k_pad = _round_up(max(k, 128), 128)
     tile_m = min(tile_m, _round_up(max(m, 8), 8))
     if variant == "auto":
-        # measured (scripts/profile_r3n{,2}.py): maskout wins at every
-        # n_pad ≥ 512 shape tried, including k=1; walk wins at n_pad=256
-        # (3.68 vs 4.36 ms at (64,256,k17)) where the upfront tile copy
-        # is not amortized
-        variant = "maskout" if n_pad >= 512 else "walk"
+        # measured (scripts/profile_r3o.py, superseding r3n's
+        # maskout/walk crossover): the unrolled SSA selection wins at
+        # n_pad 256 (3.13 vs walk 3.29 / maskout 3.19), 1024 (5.18 vs
+        # 6.13) and 4096 (20.40 vs 22.15) — k=1 chamfer included (7.22
+        # vs 7.32) — while maskout keeps a narrow win at exactly
+        # n_pad=512 (3.83 vs 4.55)
+        variant = "maskout" if n_pad == 512 else "unroll"
     if variant in ("maskout", "unroll", "packed"):
         # these forms hold TWO (tile_m, n_pad) 4-byte tiles live
         # (maskout: distances + the rewritable scratch; unroll: the SSA
@@ -1207,10 +1211,17 @@ def knn_group_pallas(
         n_pad = 2048, else 128 — the (n=4096, c=128) refiner shape fills
         VMEM: tables ~5 MiB + the two knockout-chain tiles + the
         (tm, k·cf) accumulator).
-      exact: 3-term exact feature gather (default, values bit-identical
-        to ``group_point(impl='gather')``); False = single bf16 term
-        (turbo — values match ``group_point(impl='onehot')``).  xyz is
-        exact in both modes.
+      exact: 3-term f32-precision feature gather (default); False =
+        single bf16 term (turbo — values round like
+        ``group_point(impl='onehot')``).  NOTE: interpret mode
+        reproduces ``group_point(impl='gather')`` bit-exactly, but on
+        REAL hardware the gathered values deviate: features at f32
+        round-off (measured 5.1e-6 rel — in-kernel MXU accumulation
+        order), xyz at bf16 grade (measured 2.1e-3 rel — the t2/t3
+        correction terms do not survive the hardware path; open kernel
+        item).  ``bench.parity_guard`` prints and bounds both every
+        session (4e-3 / 1e-5).  dists/idx ARE bit-identical in both
+        modes.
       with_xyz: also gather the neighbor coordinate rows (exact).
       drop_first: run k+1 selection rounds and keep rounds 1..k — the
         ``knn_unique(k+1)[:, :, 1:]`` edge-conv composition
@@ -1243,11 +1254,32 @@ def knn_group_pallas(
         # k·cf — stay at 128 rows for wide gathers and big clouds
         tile_m = 256 if (n_pad <= 2048 and k * cf <= 2048) else 128
     tile_m = min(tile_m, _round_up(max(m, 8), 8))
-    # VMEM: p(n·c_pad·4) + 3 bf16 feat terms(n·cf·2 each) + x9(n·16·2) +
-    # the SSA knockout chain (2 · tm·n·4) + feat acc(tm·k·cf·4); cap the
-    # two distance tiles at ~8 MiB like the unroll variant
-    cap = max(8, (8 * 2**20) // (8 * n_pad) // 8 * 8)
-    tile_m = min(tile_m, cap)
+
+    # Fit the scoped-VMEM envelope (16 MiB).  Resident, tile_m-independent
+    # tables: points (n·c_pad f32), the bf16 feature terms (3 exact /
+    # 1 turbo), x9, bias.  Per-query-row costs: the query block, the
+    # unrolled selection's live (tm, n) f32 distance tiles, the
+    # distance-matmul temporary, the (tm, k·cf) f32 gather accumulator,
+    # idx/dist outputs and the xyz output, with j-varying in/out blocks
+    # double-buffered.  The live-tile count is CALIBRATED, not derived:
+    # Mosaic keeps several knockout-chain copies live across the unrolled
+    # rounds — measured stack allocations were 17.44 MiB at
+    # (32,4096,c128)/tile 128 and 17.25 MiB at (28,1024,c128)/tile 256
+    # (both OOMed the 16 MiB limit on chip: scripts/profile_r3r.py and
+    # r3u §C round 3) where a 2-tile model predicted 14.4/10.0 MiB; the
+    # 10-tile coefficient below upper-bounds both observations.
+    fixed = (n_pad * c_pad * 4 + (3 if exact else 1) * n_pad * cf * 2
+             + n_pad * 16 * 2 + n_pad * 4)
+    per_row = (2 * c_pad * 4          # query block (double-buffered)
+               + 10 * n_pad * 4       # live knockout-chain tiles (calib.)
+               + n_pad * 4            # distance-matmul temporary
+               + 2 * k * cf * 4       # gather accumulator + out block
+               + 2 * 2 * k_pad * 4    # idx + dist out (double-buffered)
+               + (2 * k * 16 * 4 if with_xyz else 0))
+    budget = 15 * 2**20
+    while tile_m > 8 and fixed + tile_m * per_row > budget:
+        tile_m //= 2
+    tile_m = max(8, tile_m)
     m_pad = _round_up(max(m, tile_m), tile_m)
 
     pts = jnp.zeros((b, n_pad, c_pad), jnp.float32)
