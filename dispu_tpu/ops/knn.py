@@ -43,14 +43,31 @@ def mask_duplicate_rows(points: jnp.ndarray) -> jnp.ndarray:
     over the coordinate axis instead: a fori_loop carrying one
     (..., n, n) bool plane, identical result, O(n²) live memory.
     """
+    if points.shape[-2] <= 2048:
+        return _mask_dup_broadcast(points)
+    return _mask_dup_loop(points)
+
+
+def _mask_dup_broadcast(points: jnp.ndarray) -> jnp.ndarray:
+    """Single fused (..., n, n, c) broadcast-equality formulation."""
+    n = points.shape[-2]
+    earlier = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)
+    eq = jnp.all(
+        points[..., :, None, :] == points[..., None, :, :], axis=-1
+    )
+    return jnp.any(eq & earlier, axis=-1)
+
+
+def _mask_dup_loop(points: jnp.ndarray) -> jnp.ndarray:
+    """fori_loop-over-coordinates formulation: one live (..., n, n) plane.
+
+    Identical result to :func:`_mask_dup_broadcast` (pinned by
+    tests/test_ops.py::test_mask_duplicate_rows_loop_branch); selected
+    above n = 2048 where the broadcast operands would materialize.
+    """
     n = points.shape[-2]
     c = points.shape[-1]
     earlier = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)
-    if n <= 2048:
-        eq = jnp.all(
-            points[..., :, None, :] == points[..., None, :, :], axis=-1
-        )
-        return jnp.any(eq & earlier, axis=-1)
 
     def body(j, acc):
         col = jax.lax.dynamic_index_in_dim(points, j, axis=-1,

@@ -1278,7 +1278,10 @@ def knn_group_pallas(
                + (2 * k * 16 * 4 if with_xyz else 0))
     budget = 15 * 2**20
     while tile_m > 8 and fixed + tile_m * per_row > budget:
-        tile_m //= 2
+        # halve along an 8-aligned lattice: a non-power-of-two start
+        # (tile_m = round_up(m, 8), e.g. m=20 → 24) would otherwise halve
+        # to 12 and violate the {×8, ×128} block-dim convention
+        tile_m = max(8, (tile_m // 2) // 8 * 8)
     tile_m = max(8, tile_m)
     m_pad = _round_up(max(m, tile_m), tile_m)
 
@@ -1358,8 +1361,13 @@ def knn_group_pallas(
     gxyz = None
     if with_xyz:
         x9g = jnp.transpose(outs[3], (0, 2, 1, 3))[:, :m]  # (b, m, k, 16)
-        # term-major reconstruction — same accumulation order as the exact
-        # feature gather, so the f32 exactness argument applies unchanged
+        # term-major reconstruction.  NOTE (measured, round 3 session 2):
+        # on real MXU hardware the gathered t2/t3 correction terms do not
+        # survive the kernel's accumulation path, so the reconstructed xyz
+        # degrades to bf16 grade (rel ~2.1e-3 vs the exact gather) even
+        # though interpret mode is bit-exact — see the knn_group_pallas
+        # docstring and bench.parity_guard's measured bounds.  Open
+        # round-4 kernel item; the exact composed path stays the default.
         gxyz = (x9g[..., 0:3] + x9g[..., 3:6] + x9g[..., 6:9])
     return dists, idx, gxyz, gfeat
 

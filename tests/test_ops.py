@@ -115,6 +115,23 @@ class TestKnn:
         mask = np.asarray(ops.mask_duplicate_rows(pts))
         np.testing.assert_array_equal(mask[0], [False, False, True, True, False])
 
+    def test_mask_duplicate_rows_loop_branch(self, rng):
+        """The n>2048 fori_loop formulation must equal the broadcast one.
+
+        Every shipping test shape takes the broadcast branch, so the loop
+        path (selected on-device at the 4096-point second-pass shapes) is
+        exercised here directly at small n with heavy duplication."""
+        from dispu_tpu.ops.knn import _mask_dup_broadcast, _mask_dup_loop
+
+        base = rng.randn(2, 16, 5).astype(np.float32)
+        pts = np.concatenate([base, base[:, ::2], base[:, :8]], axis=1)
+        perm = rng.permutation(pts.shape[1])
+        pts = pts[:, perm]
+        np.testing.assert_array_equal(
+            np.asarray(_mask_dup_loop(pts)),
+            np.asarray(_mask_dup_broadcast(pts)),
+        )
+
     def test_knn_unique_skips_duplicates(self):
         pts = np.array(
             [[[0, 0, 0], [0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]]], np.float32
