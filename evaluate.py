@@ -21,6 +21,13 @@ def main():
     p.add_argument("--mesh", default=None, help="dir of gt *.off meshes")
     p.add_argument("--out_csv", default=None)
     p.add_argument("--disk_seeds", type=int, default=1000)
+    p.add_argument(
+        "--dump_p2f", action="store_true",
+        help="also write the reference evaluation binary's per-point side "
+        "files next to each prediction: <name>_point2mesh_distance.txt, "
+        "_disk_idx.txt, _radius.txt, _sampling_seed.txt "
+        "(ref:evaluation_code/evaluation.cpp:202-212,259-311; readable by "
+        "ref:evaluate.py's analyze_uniform)")
     args = p.parse_args()
 
     from dispu_tpu.evaluation.report import evaluate_dirs
@@ -31,6 +38,7 @@ def main():
         mesh_dir=args.mesh,
         out_csv=args.out_csv,
         num_disk_seeds=args.disk_seeds,
+        dump_p2f=args.dump_p2f,
     )
     print(json.dumps(summary, indent=2))
 
