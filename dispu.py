@@ -83,6 +83,10 @@ def parse_args():
     p.add_argument("--d_clip", type=float, default=0.01,
                    help="critic weight clip (reference: 0.01, which "
                         "collapses D — see PERFORMANCE.md; 0 disables)")
+    p.add_argument("--fake_pool_size", type=int, default=0,
+                   help="PointPool history buffer of generated clouds for "
+                        "the D update (ref:Common/visu_utils.py:309-334, "
+                        "unused there; 0 = off)")
     p.add_argument("--patch_batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
@@ -160,6 +164,7 @@ def build_config(args):
             steps_per_visu=args.steps_per_visu,
             gen_update=args.gen_update,
             d_clip=args.d_clip,
+            fake_pool_size=args.fake_pool_size,
             seed=args.seed,
             compute_dtype=args.compute_dtype,
         ),

@@ -144,6 +144,12 @@ class TrainConfig:
     # section); 0 disables the clip (documented deviating config with a
     # live adversarial signal).  Default keeps reference parity.
     d_clip: float = 0.01
+    # size of the PointPool history buffer of generated clouds the critic
+    # trains against (ref:Common/visu_utils.py:309-334 — defined but never
+    # used by the reference; 0 = off, reference behavior).  When > 0 the
+    # GAN step queries the host-side pool mid-step via io_callback
+    # (single-device path only).
+    fake_pool_size: int = 0
     beta1: float = 0.9
     lr_decay: bool = True
     decay_step_epochs: int = 30

@@ -53,6 +53,14 @@ def _load() -> Optional[ctypes.CDLL]:
         f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, f32p,
     ]
+    lib.dispu_knn.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+        i32p, f32p,
+    ]
+    lib.dispu_knn_batch_distance_pick.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint64, f32p, i32p,
+    ]
     lib.dispu_grid_subsample.argtypes = [
         f32p, f32p, ctypes.c_int, ctypes.c_int, ctypes.c_float, f32p, f32p,
         ctypes.c_int,
@@ -106,6 +114,58 @@ def knn_batch(
         _ptr(d2) if return_dist else ctypes.cast(None, ctypes.POINTER(ctypes.c_float)),
     )
     return (idx, d2) if return_dist else idx
+
+
+def knn(
+    pts: np.ndarray, queries: np.ndarray, k: int, return_dist: bool = False
+):
+    """Single-cloud exact kNN on host, any dimensionality.
+
+    Drop-in for ref:libs/nearest_neighbors/knn.pyx:33-71 (``knn``):
+    pts (n, dim), queries (m, dim) → idx (m, k) int64, ascending by
+    distance (plus squared distances with ``return_dist``).
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    pts = _f32(pts)
+    queries = _f32(queries)
+    n, dim = pts.shape
+    m = queries.shape[0]
+    assert queries.shape[1] == dim
+    idx = np.empty((m, k), np.int32)
+    d2 = np.empty((m, k), np.float32) if return_dist else None
+    lib.dispu_knn(
+        _ptr(pts), n, dim, _ptr(queries), m, k,
+        _ptr(idx, ctypes.c_int32),
+        _ptr(d2) if return_dist else ctypes.cast(None, ctypes.POINTER(ctypes.c_float)),
+    )
+    idx64 = idx.astype(np.int64)
+    return (idx64, d2) if return_dist else idx64
+
+
+def knn_batch_distance_pick(
+    pts: np.ndarray, nqueries: int, k: int, seed: int = 0
+):
+    """Coverage-balanced query picking + kNN (the reference's
+    "distance pick": repeatedly kNN around a random least-used point).
+
+    Drop-in for ref:libs/nearest_neighbors/knn.pyx:115-148
+    (``knn_batch_distance_pick``): pts (b, n, dim) →
+    (idx (b, nqueries, k) int64, queries (b, nqueries, dim) f32), except
+    the RNG is caller-seeded for reproducibility (the reference seeds from
+    time(0), and its OpenMP variant races the shared stream).
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    pts = _f32(pts)
+    b, n, dim = pts.shape
+    idx = np.empty((b, nqueries, k), np.int32)
+    queries = np.empty((b, nqueries, dim), np.float32)
+    lib.dispu_knn_batch_distance_pick(
+        _ptr(pts), b, n, dim, nqueries, k, ctypes.c_uint64(seed),
+        _ptr(queries), _ptr(idx, ctypes.c_int32),
+    )
+    return idx.astype(np.int64), queries
 
 
 def grid_subsample(

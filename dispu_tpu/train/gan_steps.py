@@ -96,6 +96,7 @@ def make_gan_train_step(
     mesh=None,
     donate: bool = True,
     jit_compile: bool = True,
+    fake_pool=None,
 ):
     """D update + clip, then G, in one jitted step (``jit_compile=False``
     returns the raw traceable step — see steps.make_train_step).
@@ -105,6 +106,15 @@ def make_gan_train_step(
     key)`` when ``random_input`` (input re-sampled from gt on device) or
     ``(state, gt, inputs, radius, key)`` with the curated h5 sparse column
     otherwise (ref:DisPU/dataset.py:120-140).
+
+    ``fake_pool`` (a :class:`dispu_tpu.utils.visu.PointPool`) optionally
+    routes the critic's fake input through a host-side history buffer of
+    generator outputs (CycleGAN-style; ref:Common/visu_utils.py:309-334,
+    unused there): the step calls ``pool.query(fine)`` mid-step via an
+    ordered ``io_callback`` and the D update trains on the returned batch
+    (the G update always sees the live critic's response to the CURRENT
+    ``fine``).  Host-callback path — single-device only (no mesh), and the
+    pool contents are not part of the checkpointed state.
     """
     gen_model = DisPUGenerator(
         cfg=cfg.generator, dtype=jnp.dtype(cfg.train.compute_dtype)
@@ -113,6 +123,15 @@ def make_gan_train_step(
     tx = adam_transform(cfg.train)
     n_in = cfg.generator.num_points
     clip = cfg.train.d_clip
+    if fake_pool is not None and mesh is not None:
+        raise ValueError(
+            "fake_pool is a host io_callback path — single-device only"
+        )
+
+    def _pool_query(f):
+        import numpy as np
+
+        return np.asarray(fake_pool.query(np.asarray(f)), np.float32)
 
     def step_core(state: GANState, gt, inputs, radius, k_aug):
         if cfg.data.augment:
@@ -178,9 +197,28 @@ def make_gan_train_step(
             cfg.discriminator, gt_aug, fine0
         )
 
+        if fake_pool is not None:
+            # D trains on a (possibly historical) fake from the pool; its
+            # critic geometry must be recomputed for the pooled batch.
+            # The shared-geometry sharing only ever applied to D/G seeing
+            # the SAME fake, which no longer holds by design here.
+            from jax.experimental import io_callback
+
+            d_fake = io_callback(
+                _pool_query,
+                jax.ShapeDtypeStruct(fine0.shape, jnp.float32),
+                fine0,
+                ordered=True,
+            )
+            d_fake_groups, _ = paired_neighborhoods_with_pred_indices(
+                cfg.discriminator, gt_aug, d_fake
+            )
+        else:
+            d_fake, d_fake_groups = fine0, d_groups
+
         def d_loss_fn(d_params):
             values = disc_model.apply(
-                {"params": d_params}, fine0, gt_aug, groups=d_groups
+                {"params": d_params}, d_fake, gt_aug, groups=d_fake_groups
             )
             real, fake = split_real_fake(values)
             # real/fake separation diagnostics: a healthy critic keeps

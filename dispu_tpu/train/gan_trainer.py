@@ -22,11 +22,34 @@ class GANTrainer(BaseTrainer):
         "d_gap", "d_var", "d_clip_frac",
     )
 
+    def _fake_pool(self):
+        """Lazily build the shared PointPool history buffer (off by
+        default; ref:Common/visu_utils.py:309-334)."""
+        import numpy as np
+
+        from dispu_tpu.utils.visu import PointPool
+
+        size = self.cfg.train.fake_pool_size
+        if size <= 0:
+            return None
+        if getattr(self, "_pool", None) is None:
+            self._pool = PointPool(
+                size, rng=np.random.RandomState(self.cfg.train.seed)
+            )
+        return self._pool
+
     def _make_step(self):
-        return make_gan_train_step(self.cfg, mesh=self.mesh)
+        pool = self._fake_pool()
+        return make_gan_train_step(
+            self.cfg, mesh=None if pool is not None else self.mesh,
+            fake_pool=pool,
+        )
 
     def _make_raw_step(self):
-        return make_gan_train_step(self.cfg, mesh=None, jit_compile=False)
+        return make_gan_train_step(
+            self.cfg, mesh=None, jit_compile=False,
+            fake_pool=self._fake_pool(),
+        )
 
     def _make_state(self):
         return create_gan_state(

@@ -148,3 +148,37 @@ def plot_pcd_three_views(
     plt.suptitle(suptitle)
     fig.savefig(filename)
     plt.close(fig)
+
+
+class PointPool:
+    """History buffer of generated point clouds (CycleGAN image pool).
+
+    Parity: ref:Common/visu_utils.py:309-334 — while the pool is filling,
+    ``query`` stores the input and returns it; once full, with probability
+    0.5 it swaps the input for a randomly chosen stored batch and returns
+    the old one, otherwise returns the input.  The reference defines it but
+    never calls it; here it is wired (optionally) into the GAN step so the
+    critic can train against a history of generator outputs —
+    ``TrainConfig.fake_pool_size`` (default 0 = off, reference behavior).
+
+    A seeded ``numpy.random.RandomState`` replaces the reference's global
+    ``random`` module so training runs stay reproducible.
+    """
+
+    def __init__(self, pool_size: int = 20, rng=None):
+        self.pool_size = pool_size
+        self.points: list = []
+        self.rng = rng if rng is not None else np.random.RandomState()
+
+    def query(self, point: np.ndarray) -> np.ndarray:
+        if self.pool_size == 0:
+            return point
+        if len(self.points) < self.pool_size:
+            self.points.append(np.asarray(point).copy())
+            return point
+        if self.rng.rand() > 0.5:
+            random_id = self.rng.randint(0, self.pool_size)
+            tmp = self.points[random_id].copy()
+            self.points[random_id] = np.asarray(point).copy()
+            return tmp
+        return point

@@ -20,6 +20,7 @@
 #include <cstring>
 #include <limits>
 #include <queue>
+#include <random>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -223,6 +224,105 @@ void dispu_knn_batch(const float* support, const float* queries, int b, int n,
                  out_idx + ((size_t)bi * m + qi) * k,
                  out_d2 ? out_d2 + ((size_t)bi * m + qi) * k : nullptr);
     }
+  }
+}
+
+// Single-cloud exact kNN, any dimensionality: points (n, dim), queries
+// (m, dim) → idx (m, k) ascending by distance [, d2].  Parity target:
+// ref:libs/nearest_neighbors/knn_.cxx:21-67 (cpp_knn / cpp_knn_omp) /
+// knn.pyx:33-71.  dim==3 rides the KD-tree; other dims use an exact
+// partial-selection scan (the reference's callers only ever pass dim=3).
+void dispu_knn(const float* points, int n, int dim, const float* queries,
+               int m, int k, int32_t* out_idx, float* out_d2) {
+  if (dim == 3) {
+    KDTree3 tree(points, n);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int qi = 0; qi < m; ++qi) {
+      tree.query(queries + (size_t)qi * 3, k, out_idx + (size_t)qi * k,
+                 out_d2 ? out_d2 + (size_t)qi * k : nullptr);
+    }
+    return;
+  }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int qi = 0; qi < m; ++qi) {
+    const float* q = queries + (size_t)qi * dim;
+    std::priority_queue<std::pair<float, int32_t>> heap;  // max-heap
+    for (int i = 0; i < n; ++i) {
+      const float* p = points + (size_t)i * dim;
+      float d2 = 0;
+      for (int a = 0; a < dim; ++a) {
+        float d = p[a] - q[a];
+        d2 += d * d;
+      }
+      if ((int)heap.size() < k)
+        heap.emplace(d2, i);
+      else if (d2 < heap.top().first) {
+        heap.pop();
+        heap.emplace(d2, i);
+      }
+    }
+    int cnt = (int)heap.size();
+    for (int i = cnt - 1; i >= 0; --i) {
+      out_idx[(size_t)qi * k + i] = heap.top().second;
+      if (out_d2) out_d2[(size_t)qi * k + i] = heap.top().first;
+      heap.pop();
+    }
+    for (int i = cnt; i < k; ++i)
+      out_idx[(size_t)qi * k + i] = cnt ? out_idx[(size_t)qi * k + cnt - 1] : 0;
+  }
+}
+
+// Coverage-balanced query picking + kNN ("distance pick"): per batch,
+// repeatedly pick a random point among the LEAST-USED ones, take its k
+// nearest neighbors, and bump usage counts (+1 per neighbor, +100 for the
+// picked point) so later picks spread across the cloud.  Semantics match
+// ref:libs/nearest_neighbors/knn_.cxx:138-203 / knn.pyx:115-148
+// (cpp_knn_batch_distance_pick) with one deliberate change: the RNG is a
+// caller-seeded mt19937 per batch element instead of a single
+// time(0)-seeded stream (the reference's OpenMP variant even races that
+// shared stream) — runs are reproducible and batch-order independent.
+// Outputs: out_queries (b, m, dim) picked points, out_idx (b, m, k).
+void dispu_knn_batch_distance_pick(const float* batch_data, int b, int n,
+                                   int dim, int m, int k, uint64_t seed,
+                                   float* out_queries, int32_t* out_idx) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int bid = 0; bid < b; ++bid) {
+    const float* points = batch_data + (size_t)bid * n * dim;
+    std::mt19937 rng((uint32_t)(seed + (uint64_t)bid * 0x9e3779b9u));
+    KDTree3* tree = dim == 3 ? new KDTree3(points, n) : nullptr;
+    std::vector<int> used(n, 0);
+    std::vector<int32_t> ids(k);
+    std::vector<size_t> possible;
+    int current_id = 0;
+    for (int ptid = 0; ptid < m; ++ptid) {
+      possible.clear();
+      while (possible.empty()) {
+        for (int i = 0; i < n; ++i)
+          if (used[i] == current_id) possible.push_back(i);
+        if (possible.empty())
+          current_id = *std::min_element(used.begin(), used.end());
+      }
+      size_t index = possible[rng() % possible.size()];
+      const float* q = points + index * dim;
+      if (tree) {
+        tree->query(q, k, ids.data(), nullptr);
+      } else {
+        dispu_knn(points, n, dim, q, 1, k, ids.data(), nullptr);
+      }
+      for (int i = 0; i < k; ++i) used[ids[i]] += 1;
+      used[index] += 100;
+      for (int i = 0; i < k; ++i)
+        out_idx[((size_t)bid * m + ptid) * k + i] = ids[i];
+      for (int a = 0; a < dim; ++a)
+        out_queries[((size_t)bid * m + ptid) * dim + a] = q[a];
+    }
+    delete tree;
   }
 }
 

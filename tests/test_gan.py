@@ -407,3 +407,115 @@ def test_generator_restores_from_gan_checkpoint(tmp_path):
         np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
         np.asarray(jax.tree_util.tree_leaves(state.gen.params)[0]),
     )
+
+
+class TestPointPool:
+    """PointPool history buffer (ref:Common/visu_utils.py:309-334)."""
+
+    def test_fill_phase_returns_input(self):
+        from dispu_tpu.utils.visu import PointPool
+
+        pool = PointPool(3, rng=np.random.RandomState(0))
+        batches = [np.full((2, 4, 3), i, np.float32) for i in range(3)]
+        for b in batches:
+            out = pool.query(b)
+            np.testing.assert_array_equal(out, b)
+        assert len(pool.points) == 3
+        # stored copies, not views
+        batches[0][:] = 99
+        np.testing.assert_array_equal(pool.points[0], 0)
+
+    def test_full_pool_swaps_history(self):
+        from dispu_tpu.utils.visu import PointPool
+
+        pool = PointPool(2, rng=np.random.RandomState(1))
+        a = np.zeros((1, 4, 3), np.float32)
+        b = np.ones((1, 4, 3), np.float32)
+        pool.query(a)
+        pool.query(b)
+        # drive queries until both branches fire (seeded → deterministic)
+        returned_old = returned_new = False
+        for i in range(2, 40):
+            c = np.full((1, 4, 3), i, np.float32)
+            out = pool.query(c)
+            if np.all(out == i):
+                returned_new = True
+            else:
+                returned_old = True
+                # the old entry came from the pool and c replaced it
+                assert any(np.all(p == i) for p in pool.points)
+            if returned_old and returned_new:
+                break
+        assert returned_old and returned_new
+
+    def test_pool_size_zero_is_passthrough(self):
+        from dispu_tpu.utils.visu import PointPool
+
+        pool = PointPool(0)
+        x = np.ones((1, 2, 3), np.float32)
+        assert pool.query(x) is x
+        assert pool.points == []
+
+
+class TestFakePoolStep:
+    def test_fill_phase_matches_plain_step(self, rng):
+        """While the pool is filling, query returns the live ``fine``: the
+        pooled step must bit-match a passthrough pool (size 0 — query is
+        the identity; same compiled program), and its d_loss must agree
+        with the plain no-pool step (a different compiled program, so only
+        to f32 program-reassociation tolerance)."""
+        from dispu_tpu.utils.visu import PointPool
+
+        state = create_gan_state(jax.random.PRNGKey(0), TINY_CFG)
+        gt = jnp.asarray(rng.randn(4, 128, 3), jnp.float32)
+        radius = jnp.ones((4,))
+        plain = make_gan_train_step(TINY_CFG, donate=False)
+        pooled = make_gan_train_step(
+            TINY_CFG, donate=False,
+            fake_pool=PointPool(8, rng=np.random.RandomState(0)),
+        )
+        passthrough = make_gan_train_step(
+            TINY_CFG, donate=False, fake_pool=PointPool(0)
+        )
+        s1, m1 = plain(state, gt, radius, jax.random.PRNGKey(1))
+        s2, m2 = pooled(state, gt, radius, jax.random.PRNGKey(1))
+        s3, m3 = passthrough(state, gt, radius, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(
+            float(m1["d_loss"]), float(m2["d_loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s3.d_params),
+            jax.tree_util.tree_leaves(s2.d_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pool_accumulates_and_history_changes_d(self, rng):
+        """Once the pool swaps in history, the D update sees a different
+        fake than the live ``fine`` and diverges from the plain step."""
+        from dispu_tpu.utils.visu import PointPool
+
+        pool = PointPool(1, rng=np.random.RandomState(3))
+        state = create_gan_state(jax.random.PRNGKey(0), TINY_CFG)
+        pooled = make_gan_train_step(TINY_CFG, donate=False, fake_pool=pool)
+        plain = make_gan_train_step(TINY_CFG, donate=False)
+        radius = jnp.ones((4,))
+        key = jax.random.PRNGKey(2)
+        gts = [jnp.asarray(rng.randn(4, 128, 3), jnp.float32)
+               for _ in range(6)]
+        sp = sq = state
+        diverged = False
+        for i, gt in enumerate(gts):
+            sp, mp = plain(sp, gt, radius, jax.random.fold_in(key, i))
+            sq, mq = pooled(sq, gt, radius, jax.random.fold_in(key, i))
+            if abs(float(mp["d_loss"]) - float(mq["d_loss"])) > 1e-9:
+                diverged = True
+        assert len(pool.points) == 1
+        assert diverged
+
+    def test_mesh_rejected(self):
+        from dispu_tpu.utils.visu import PointPool
+
+        with pytest.raises(ValueError):
+            make_gan_train_step(
+                TINY_CFG, mesh=object(), fake_pool=PointPool(2)
+            )

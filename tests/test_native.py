@@ -170,3 +170,62 @@ class TestRenderBall:
             np.asarray(interp[:, 2]), radius=4,
         )
         assert img.shape == (64, 64, 3) and img.max() > 0
+
+
+class TestKnnSingleCloud:
+    """ref:libs/nearest_neighbors/knn.pyx:33-71 entry-point parity."""
+
+    def test_matches_bruteforce(self, rng):
+        pts = rng.randn(250, 3).astype(np.float32)
+        q = rng.randn(31, 3).astype(np.float32)
+        idx, d2 = native.knn(pts, q, 6, return_dist=True)
+        assert idx.shape == (31, 6) and idx.dtype == np.int64
+        full = np.sum((q[:, None] - pts[None]) ** 2, -1)
+        np.testing.assert_array_equal(idx, np.argsort(full, axis=1)[:, :6])
+        np.testing.assert_allclose(
+            d2, np.sort(full, axis=1)[:, :6], rtol=1e-5
+        )
+
+    def test_generic_dim(self, rng):
+        pts = rng.randn(120, 6).astype(np.float32)
+        q = rng.randn(9, 6).astype(np.float32)
+        idx = native.knn(pts, q, 4)
+        full = np.sum((q[:, None] - pts[None]) ** 2, -1)
+        np.testing.assert_array_equal(idx, np.argsort(full, axis=1)[:, :4])
+
+
+class TestKnnBatchDistancePick:
+    """ref:libs/nearest_neighbors/knn.pyx:115-148 entry-point parity."""
+
+    def test_semantics(self, rng):
+        pts = rng.randn(2, 100, 3).astype(np.float32)
+        idx, queries = native.knn_batch_distance_pick(pts, 12, 5, seed=11)
+        assert idx.shape == (2, 12, 5) and idx.dtype == np.int64
+        assert queries.shape == (2, 12, 3)
+        for b in range(2):
+            for t in range(12):
+                # the query is a dataset point and leads its own kNN list
+                d = np.sum((pts[b] - queries[b, t]) ** 2, -1)
+                assert d[idx[b, t, 0]] < 1e-10
+                # indices are the exact k nearest of the query
+                np.testing.assert_allclose(
+                    np.sort(d[idx[b, t]]), np.sort(d)[:5], atol=1e-6
+                )
+
+    def test_coverage_balancing(self, rng):
+        # with n = nqueries the picker's least-used rule touches distinct
+        # points: the +100 self-penalty makes re-picking a point strictly
+        # last resort, so all picked queries are distinct here
+        pts = rng.randn(1, 64, 3).astype(np.float32)
+        _, queries = native.knn_batch_distance_pick(pts, 32, 4, seed=0)
+        uniq = np.unique(queries[0].round(6), axis=0)
+        assert len(uniq) == 32
+
+    def test_seeded_determinism(self, rng):
+        pts = rng.randn(2, 80, 3).astype(np.float32)
+        a = native.knn_batch_distance_pick(pts, 10, 4, seed=5)
+        b = native.knn_batch_distance_pick(pts, 10, 4, seed=5)
+        c = native.knn_batch_distance_pick(pts, 10, 4, seed=6)
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        assert not np.array_equal(a[0], c[0])
