@@ -82,18 +82,57 @@ def maybe_profile(log_dir: Optional[str], enable: bool = False):
         yield
 
 
-def backup_sources(log_dir: str) -> None:
-    """Self-copy the framework sources into the run directory so every run
-    records the exact code that produced it (ref:DisPU/model.py:56-65)."""
-    import shutil
+def backup_sources(log_dir: str, mode: str = "manifest") -> None:
+    """Record the exact code that produced a run (ref:DisPU/model.py:56-65).
+
+    The reference self-copies its sources into the log dir.  The default
+    here writes ``code_manifest.txt`` instead — the git commit (+dirty
+    state) and a sha256 per package source file — which identifies the
+    code just as precisely without re-committing a full package copy into
+    every run directory (each copy is ~5.7k LoC of duplicate history).
+    ``mode="copy"`` keeps the reference's literal behavior.
+    """
+    import hashlib
+    import subprocess
 
     src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    dst = os.path.join(log_dir, "code", "dispu_tpu")
-    if os.path.exists(dst):
-        shutil.rmtree(dst)
-    shutil.copytree(
-        src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.pyc")
-    )
+    if mode == "copy":
+        import shutil
+
+        dst = os.path.join(log_dir, "code", "dispu_tpu")
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(
+            src, dst, ignore=shutil.ignore_patterns("__pycache__", "*.pyc")
+        )
+        return
+    repo = os.path.dirname(src)
+    lines = []
+    try:
+        head = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        lines.append(f"commit: {head or 'unknown'}")
+        lines.append(f"dirty: {'yes' if dirty else 'no'}")
+    except Exception:
+        lines.append("commit: unknown (not a git checkout)")
+    for root, dirs, files in sorted(os.walk(src)):
+        dirs[:] = sorted(d for d in dirs if d != "__pycache__")
+        for name in sorted(files):
+            if not name.endswith(".py"):
+                continue
+            path = os.path.join(root, name)
+            digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+            rel = os.path.relpath(path, os.path.dirname(src))
+            lines.append(f"{digest}  {rel}")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "code_manifest.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 class StepTimer:

@@ -308,8 +308,13 @@ class TestGANTrainer:
         ds = PatchDataset(h5_path="/nonexistent", synthetic_patches_count=8,
                           num_point=32)
         tr = GANTrainer(cfg, dataset=ds, use_mesh=False)
-        # source backup exists (shared aux behavior)
-        assert os.path.isdir(os.path.join(cfg.log_dir, "code"))
+        # source backup exists (shared aux behavior; manifest mode records
+        # the commit + per-file digests instead of a package copy)
+        manifest = os.path.join(cfg.log_dir, "code_manifest.txt")
+        assert os.path.isfile(manifest)
+        text = open(manifest).read()
+        assert text.startswith("commit:")
+        assert "dispu_tpu/train/gan_trainer.py" in text
 
         calls = {"n": 0}
         real_step = tr.train_step
