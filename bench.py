@@ -98,33 +98,38 @@ def parity_guard():
     )
     hp_ok = bool(jnp.array_equal(g_ref, g_hp))
 
-    # fused kNN+gather (exact mode) vs the composed path: dists/idx must
-    # be bit-equal; the gathered values are NOT bit-exact on real
-    # hardware (interpret mode is).  Measured contract (round 3):
-    # features hold f32 round-off (5.1e-6 — the in-kernel MXU
-    # accumulation order differs from the XLA onehot_hp contraction) but
-    # the xyz 3-term reconstruction degrades to bf16-grade on chip
-    # (2.1e-3 ≈ one bf16 term's rounding; the t2/t3 correction terms do
-    # not survive the hardware path — open round-4 kernel item).  Within
-    # the turbo envelope (backbone bf16 gathers already accept ~1e-2);
-    # fused_grouping stays opt-in/turbo-only.  Bounds assert the
-    # measured contract with 2x headroom.
-    feats131 = jnp.asarray(rng.randn(4, 1024, 131), jnp.float32)
-    df_c, if_c = jax.jit(lambda p: knn(16, p, p))(pts)
-    gx_c = jax.jit(lambda p, i: group_point(p, i))(pts, if_c)
-    gf_c = jax.jit(lambda f, i: group_point(f, i))(feats131, if_c)
-    df_f, if_f, gx_f, gf_f = jax.jit(
-        lambda p, f: knn_group_pallas(16, p, p, f))(pts, feats131)
-    scale_x = float(jnp.max(jnp.abs(gx_c)))
-    scale_f = float(jnp.max(jnp.abs(gf_c)))
-    dev_x = float(jnp.max(jnp.abs(gx_c - gx_f))) / scale_x
-    dev_f = float(jnp.max(jnp.abs(gf_c - gf_f))) / scale_f
-    print(f"fused gather value dev: xyz {dev_x:.2e}  feat {dev_f:.2e} "
-          "(rel to max|value|)")
-    fused_ok = bool(
-        jnp.array_equal(df_c, df_f) and jnp.array_equal(if_c, if_f)
-        and dev_x <= 4e-3 and dev_f <= 1e-5
-    )
+    # fused kNN+gather (exact mode) vs the composed path, at BOTH the
+    # unrolled (n=1024) and fori_loop (n=4096 — the 16x second-pass
+    # shape the round-4 kernel unlocks) formulations: dists/idx must be
+    # bit-equal; gathered values hold f32 round-off on real hardware
+    # (interpret mode is bit-exact).  Measured contract: features 5.1e-6
+    # rel (in-kernel MXU accumulation order differs from the XLA
+    # onehot_hp contraction); xyz rides the same in-kernel 3-term
+    # accumulation since round 4 (the round-3 lane-packed form degraded
+    # to bf16-grade 2.1e-3 on chip).  Bounds assert f32-grade round-off
+    # with headroom on max AND mean deviation (ADVICE r3: a max-only
+    # bound at the bf16 ceiling could not see a regression).
+    fused_ok = True
+    for n_shape, sel_tag in ((1024, "unroll"), (4096, "loop")):
+        pts_s = jnp.asarray(rng.randn(4, n_shape, 3), jnp.float32)
+        feats131 = jnp.asarray(rng.randn(4, n_shape, 131), jnp.float32)
+        df_c, if_c = jax.jit(lambda p: knn(16, p, p))(pts_s)
+        gx_c = jax.jit(lambda p, i: group_point(p, i))(pts_s, if_c)
+        gf_c = jax.jit(lambda f, i: group_point(f, i))(feats131, if_c)
+        df_f, if_f, gx_f, gf_f = jax.jit(
+            lambda p, f: knn_group_pallas(16, p, p, f))(pts_s, feats131)
+        scale_x = float(jnp.max(jnp.abs(gx_c)))
+        scale_f = float(jnp.max(jnp.abs(gf_c)))
+        dev_x = float(jnp.max(jnp.abs(gx_c - gx_f))) / scale_x
+        dev_f = float(jnp.max(jnp.abs(gf_c - gf_f))) / scale_f
+        mean_x = float(jnp.mean(jnp.abs(gx_c - gx_f))) / scale_x
+        print(f"fused gather value dev ({sel_tag} n={n_shape}): "
+              f"xyz {dev_x:.2e} (mean {mean_x:.2e})  feat {dev_f:.2e} "
+              "(rel to max|value|)")
+        fused_ok = fused_ok and bool(
+            jnp.array_equal(df_c, df_f) and jnp.array_equal(if_c, if_f)
+            and dev_x <= 2e-5 and dev_f <= 2e-5 and mean_x <= 2e-6
+        )
 
     # sort-free Morton counting rank (bucketed-merge 'radix' mode) vs the
     # stable argsort it replaces: exact inverse-permutation equality
@@ -162,41 +167,29 @@ def parity_guard():
         "on-chip kernel parity failed"
 
 
-def main():
+def _time_config(cfg, x, iters=20, legs=5):
+    """Repeat-leg throughput for one generator config.
+
+    The whole timing loop runs inside one jit: iterations are chained
+    (each input slice depends on the previous output) so XLA cannot elide
+    or overlap them, and per-dispatch host/tunnel latency — which is not
+    part of on-chip throughput — is excluded.  A host fetch of a scalar
+    checksum bounds every leg (block_until_ready alone does not guarantee
+    completion on remote-dispatch platforms).  Returns (min, median)
+    patches/sec over ``legs`` in-session repeats — the documented ~20%
+    cross-session chip variance (PERFORMANCE.md) makes a single-leg
+    number the noisiest possible headline, so both robust statistics are
+    recorded (VERDICT r3 item 3).
+    """
     import jax
     import jax.numpy as jnp
 
-    from dispu_tpu.config import GeneratorConfig
     from dispu_tpu.models.generator import DisPUGenerator
 
-    parity_guard()
-
-    # 4x: 256 -> 1024, in the turbo serving configuration (PERFORMANCE.md
-    # "Round-3 turbo flags"): bf16 one-hot MXU gathers in refiner+backbone
-    # (output dev ≤2e-4 / ~1e-2), packed-key kNN selection (near-ties at
-    # the truncated-mantissa boundary resolve by lane), the fused
-    # kNN+gather kernel (values at f32 round-off) and the part-split
-    # dense EdgeConv (same math, f32 sum order).  Measured best combo on
-    # chip (scripts/profile_r3u.py §A: 2292 vs 2110 patches/sec for the
-    # round-2 turbo flags, same session).  Training/parity runs use the
-    # default exact path.
-    cfg = GeneratorConfig(fast_gather=True, fast_gather_backbone=True,
-                          fast_knn=True, fused_grouping=True,
-                          dense_impl="split")
     model = DisPUGenerator(cfg=cfg)
-    batch = 64  # patches per device step; the TPU pipeline batches patches
-    iters = 20
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(batch, cfg.num_points, 3), jnp.float32)
+    batch = x.shape[0]
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
-    # The whole timing loop runs inside one jit: iterations are chained
-    # (each input slice depends on the previous output) so XLA cannot elide
-    # or overlap them, and per-dispatch host/tunnel latency — which is not
-    # part of on-chip throughput — is excluded.  A host fetch of a scalar
-    # checksum bounds the measurement (block_until_ready alone does not
-    # guarantee completion on remote-dispatch platforms).
     @jax.jit
     def fwd_many(variables, x0):
         def body(carry, _):
@@ -206,50 +199,53 @@ def main():
         return jnp.sum(sums)
 
     float(fwd_many(variables, x))  # warmup/compile
-
-    # best-of-3: the recorded number is on-chip throughput, not the
-    # quietness of the shared host/tunnel during one particular loop
-    dt = float("inf")
-    for _ in range(3):
+    pps = []
+    for _ in range(legs):
         t0 = time.perf_counter()
         checksum = float(fwd_many(variables, x))  # fetch forces completion
-        dt = min(dt, time.perf_counter() - t0)
+        pps.append(batch * iters / (time.perf_counter() - t0))
         assert np.isfinite(checksum)
+    return float(np.min(pps)), float(np.median(pps)), pps
 
-    patches_per_sec = batch * iters / dt
 
-    # informational: the exact-path (default gather) configuration too —
-    # training/parity runs use this; the JSON headline stays the turbo
-    # serving configuration
-    cfg_exact = GeneratorConfig()
-    model_e = DisPUGenerator(cfg=cfg_exact)
-    vars_e = model_e.init(jax.random.PRNGKey(0), x, train=False)
+def main():
+    import jax
+    import jax.numpy as jnp
 
-    @jax.jit
-    def fwd_exact(variables, x0):
-        def body(carry, _):
-            _, fine = model_e.apply(variables, carry, train=False)
-            return fine[:, : cfg_exact.num_points, :], jnp.sum(fine)
-        final, sums = jax.lax.scan(body, x0, None, length=iters)
-        return jnp.sum(sums)
+    from dispu_tpu.config import GeneratorConfig
 
-    float(fwd_exact(vars_e, x))
-    dte = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        cs = float(fwd_exact(vars_e, x))
-        dte = min(dte, time.perf_counter() - t0)
-        assert np.isfinite(cs)
-    print(f"exact-path: {batch * iters / dte:.1f} patches/sec "
-          "(bit-identical gathers, default config)")
+    parity_guard()
+
+    batch = 64  # patches per device step; the TPU pipeline batches patches
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, 256, 3), jnp.float32)
+
+    # exact: the default configuration — bit-identical gathers, exact kNN;
+    # the BASELINE.md north star is defined on this pipeline, so it is the
+    # headline value.  turbo: the serving configuration (PERFORMANCE.md
+    # "Round-3 turbo flags") — bf16 one-hot MXU gathers in
+    # refiner+backbone (output dev ≤2e-4 / ~1e-2), packed-key kNN
+    # selection (truncated-mantissa near-ties resolve by lane), the fused
+    # kNN+gather kernel and the part-split dense EdgeConv.
+    e_min, e_med, e_all = _time_config(GeneratorConfig(), x)
+    print("exact-path legs: %s patches/sec"
+          % " ".join(f"{v:.0f}" for v in e_all))
+    t_min, t_med, t_all = _time_config(
+        GeneratorConfig(fast_gather=True, fast_gather_backbone=True,
+                        fast_knn=True, fused_grouping=True,
+                        dense_impl="split"), x)
+    print("turbo-path legs: %s patches/sec"
+          % " ".join(f"{v:.0f}" for v in t_all))
 
     print(
         json.dumps(
             {
                 "metric": "4x_upsample_patches_per_sec",
-                "value": round(patches_per_sec, 2),
-                "unit": "patches/sec (256->1024, 1 chip)",
-                "vs_baseline": round(patches_per_sec / BASELINE_PATCHES_PER_SEC, 3),
+                "value": round(e_med, 2),  # exact-pipeline median
+                "unit": "patches/sec (256->1024, 1 chip, exact median)",
+                "vs_baseline": round(e_med / BASELINE_PATCHES_PER_SEC, 3),
+                "exact": {"min": round(e_min, 2), "median": round(e_med, 2)},
+                "turbo": {"min": round(t_min, 2), "median": round(t_med, 2)},
             }
         )
     )

@@ -251,14 +251,16 @@ def grouping(
     or c > 384 — see the gate below).
     """
     if use_knn and gather_impl in ("fused", "fused_turbo"):
-        # n ≤ 2048: measured on chip (scripts/profile_r3u.py §K) — the
-        # kernel wins 19.1 → 13.8 ms (exact) / 10.6 (turbo) at
-        # (64,1024,c128), but at (32,4096,c128) fitting the 16 MiB VMEM
-        # envelope forces tile_m=64 and it loses to the composed path
-        # (67.0 vs 47.8 ms), so big clouds take the composed route
+        # n ≤ 2048 rides the round-3 unrolled form (measured r3u §K:
+        # 19.1 → 13.8 ms exact / 10.6 turbo at (64,1024,c128)); n ≤ 4096
+        # rides the round-4 fori_loop selection (knn_group_pallas
+        # select='loop'), which fits the VMEM envelope the unrolled
+        # knockout chain blew at (32,4096,c128) — the shape the 16x
+        # second pass actually runs (win region measured on chip by
+        # scripts/profile_r4a.py; see PERFORMANCE.md round 4)
         fits = (
             jax.default_backend() not in ("cpu", "gpu")
-            and src_xyz.shape[1] <= 2048
+            and src_xyz.shape[1] <= 4096
             and feature.shape[-1] <= 384
             and src_xyz.shape[-1] == 3
         )

@@ -1062,7 +1062,7 @@ knn_pallas_diff.defvjp(_knn_diff_fwd, _knn_diff_bwd)
 
 
 def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
-                           drop_first: bool):
+                           drop_first: bool, loop_select: bool = False):
     """Fused kNN + neighborhood gather: selection drives per-round MXU
     gathers, so the (b, m, k, [3+]c) grouped tensor never needs a separate
     index round-trip or wide gather pass.
@@ -1079,12 +1079,14 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
       :func:`_make_gather_kernel`) or the single leading term
       (``exact=False`` — values bf16-rounded exactly like the XLA
       'onehot' turbo gather);
-    * xyz (``with_xyz``): ALWAYS exact, via one matmul against a
-      9-column table holding the 3-term decomposition of each
-      coordinate (the triplet sum is done by the caller, term-major, so
-      the f32 reconstruction argument applies unchanged).  xyz rides one
-      narrow MXU pass instead of three because the terms sit side by
-      side in the lane axis.
+    * xyz (``with_xyz``): ALWAYS exact, via three narrow matmuls against
+      per-term 16-lane tables, accumulated in f32 INSIDE the kernel —
+      structurally identical to the exact feature path.  (Round 3 packed
+      the three terms side-by-side in one 9-column table and summed
+      term-major after the kernel; on real hardware the t2/t3 lanes did
+      not survive that path — measured bf16-grade 2.1e-3 deviation —
+      while the feature path's in-kernel accumulation measured exact to
+      f32 round-off, so xyz now takes the same route.)
 
     ``drop_first`` runs k+1 selection rounds and keeps rounds 1..k —
     the edge-conv composition ``knn_unique(k+1)[:, :, 1:]`` (self column
@@ -1098,6 +1100,18 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
     original accumulator formulation failed real-chip compilation even
     with static offsets), and each ref is still written exactly once.
 
+    ``loop_select`` restructures the body for LARGE n: the statically
+    unrolled selection keeps ~10 knockout-chain (tm, n) f32 tiles live
+    (measured round 3 — 17.4 MiB stacks at n=4096, the VMEM wall that
+    gated this kernel to n ≤ 2048), so instead the selection runs as a
+    ``fori_loop`` whose only (tm, n)-sized live state is the
+    double-buffered knockout carry, and the gathers run AFTER the loop,
+    statically unrolled, rebuilding each round's one-hot by comparing
+    the lane iota against the stored winner index (one VPU compare per
+    kept slot — the extra cost over the fused in-loop masks; the
+    selection sequence and every gather matmul operand are identical,
+    so outputs match the unrolled form bit-for-bit in both modes).
+
     Replaces ``knn_pallas`` + the combined [xyz|feature] ``group_point``
     of ``ops.grouping.grouping`` (ref:Common/ops.py:154-179) and the
     edge-conv neighborhood build (ref:Common/ops.py:1856-1877): the
@@ -1107,7 +1121,7 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
     """
 
     def kernel(pts_ref, q_ref, bias_ref, *rest):
-        pos = 1 if with_xyz else 0
+        pos = 3 if with_xyz else 0
         nft = 3 if exact else 1
         ft_refs = rest[pos:pos + nft]
         out_refs = rest[pos + nft:]
@@ -1134,26 +1148,15 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
         fts = [r[0] for r in ft_refs]
         dn = (((1,), (0,)), ((), ()))  # (tm, n) @ (n, c): contract n
 
-        dc = d
         idx_acc = jnp.zeros((tm, k_pad), jnp.int32)
         dist_acc = jnp.zeros((tm, k_pad), jnp.float32)
         feat_parts = []  # k × (tm, cf); one lane-concat at the end
         if with_xyz:
-            x9 = rest[0][0]  # (n_pad, 16) bf16 — xyz 3-term columns
+            xts = [r[0] for r in rest[:3]]  # 3 × (n_pad, 16) bf16 terms
             x9_parts = []  # k × (tm, 16); one plane-stack at the end
         rounds = k + 1 if drop_first else k
-        for j in range(rounds):
-            mv2 = jnp.min(dc, axis=1, keepdims=True)
-            hit = jnp.where(dc == mv2, lane, n_pad)
-            sel2 = jnp.min(hit, axis=1, keepdims=True)
-            if j + 1 < rounds:
-                dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
-            slot = j - 1 if drop_first else j
-            if slot < 0:
-                continue  # self column: selected and knocked out, no gather
-            idx_acc = jnp.where(lane_k == slot, sel2, idx_acc)
-            dist_acc = jnp.where(lane_k == slot, mv2, dist_acc)
-            onehot = (lane == sel2).astype(jnp.bfloat16)  # (tm, n_pad)
+
+        def _gather(onehot):
             g = jax.lax.dot_general(
                 onehot, fts[0], dn, preferred_element_type=jnp.float32)
             for ft in fts[1:]:
@@ -1162,8 +1165,52 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
             feat_parts.append(g)
             if with_xyz:
                 g9 = jax.lax.dot_general(
-                    onehot, x9, dn, preferred_element_type=jnp.float32)
+                    onehot, xts[0], dn, preferred_element_type=jnp.float32)
+                for xt in xts[1:]:
+                    g9 = g9 + jax.lax.dot_general(
+                        onehot, xt, dn, preferred_element_type=jnp.float32)
                 x9_parts.append(g9)
+
+        if loop_select:
+            # fori_loop selection: the knockout chain's only live
+            # (tm, n)-sized state is the double-buffered carry
+            shift = 1 if drop_first else 0
+
+            def body(j, carry):
+                dc, idx_a, dist_a = carry
+                mv2 = jnp.min(dc, axis=1, keepdims=True)
+                hit = jnp.where(dc == mv2, lane, n_pad)
+                sel2 = jnp.min(hit, axis=1, keepdims=True)
+                dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
+                # slot < 0 (dropped self column) matches no lane_k entry
+                slot = j - shift
+                idx_a = jnp.where(lane_k == slot, sel2, idx_a)
+                dist_a = jnp.where(lane_k == slot, mv2, dist_a)
+                return dc, idx_a, dist_a
+
+            _, idx_acc, dist_acc = jax.lax.fori_loop(
+                0, rounds, body, (d, idx_acc, dist_acc))
+            for j in range(k):
+                # column-j extraction as a masked row-sum — avoids the
+                # unaligned lane slice idx_acc[:, j] Mosaic relayouts
+                sel = jnp.sum(
+                    jnp.where(lane_k == j, idx_acc, 0), axis=1,
+                    keepdims=True)
+                _gather((lane == sel).astype(jnp.bfloat16))
+        else:
+            dc = d
+            for j in range(rounds):
+                mv2 = jnp.min(dc, axis=1, keepdims=True)
+                hit = jnp.where(dc == mv2, lane, n_pad)
+                sel2 = jnp.min(hit, axis=1, keepdims=True)
+                if j + 1 < rounds:
+                    dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
+                slot = j - 1 if drop_first else j
+                if slot < 0:
+                    continue  # self column: selected, knocked out, no gather
+                idx_acc = jnp.where(lane_k == slot, sel2, idx_acc)
+                dist_acc = jnp.where(lane_k == slot, mv2, dist_acc)
+                _gather((lane == sel2).astype(jnp.bfloat16))
         idx_ref[0] = idx_acc
         dist_ref[0] = dist_acc
         feat_ref[0] = jnp.concatenate(feat_parts, axis=1)
@@ -1184,7 +1231,7 @@ def _bf16_terms(x: jnp.ndarray):
     return t1, t2, t3
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10))
 def knn_group_pallas(
     k: int,
     points: jnp.ndarray,
@@ -1196,6 +1243,7 @@ def knn_group_pallas(
     exact: bool = True,
     with_xyz: bool = True,
     drop_first: bool = False,
+    select: str = "auto",
 ):
     """Fused exact kNN + neighborhood gather in one kernel.
 
@@ -1214,18 +1262,25 @@ def knn_group_pallas(
       exact: 3-term f32-precision feature gather (default); False =
         single bf16 term (turbo — values round like
         ``group_point(impl='onehot')``).  NOTE: interpret mode
-        reproduces ``group_point(impl='gather')`` bit-exactly, but on
-        REAL hardware the gathered values deviate: features at f32
-        round-off (measured 5.1e-6 rel — in-kernel MXU accumulation
-        order), xyz at bf16 grade (measured 2.1e-3 rel — the t2/t3
-        correction terms do not survive the hardware path; open kernel
-        item).  ``bench.parity_guard`` prints and bounds both every
-        session (4e-3 / 1e-5).  dists/idx ARE bit-identical in both
-        modes.
+        reproduces ``group_point(impl='gather')`` bit-exactly; on REAL
+        hardware the gathered values hold f32 round-off (features
+        measured 5.1e-6 rel — in-kernel MXU accumulation order; xyz
+        rides the same in-kernel 3-term accumulation since round 4 —
+        the round-3 lane-packed form degraded to bf16 grade 2.1e-3 on
+        chip).  ``bench.parity_guard`` prints and bounds both every
+        session.  dists/idx ARE bit-identical in both modes.
       with_xyz: also gather the neighbor coordinate rows (exact).
       drop_first: run k+1 selection rounds and keep rounds 1..k — the
         ``knn_unique(k+1)[:, :, 1:]`` edge-conv composition
         (ref:Common/ops.py:1856-1877) without gathering the self column.
+      select: selection formulation — 'unroll' (round-3 form: statically
+        unrolled rounds whose knockout masks double as the gather
+        one-hots; ~10 live (tm, n) f32 chain tiles, VMEM-bound to
+        n_pad ≤ 2048), 'loop' (fori_loop selection + post-loop unrolled
+        gathers — the carry is the only (tm, n) live state, so
+        n_pad = 4096 fits; one extra VPU compare per kept slot), or
+        'auto' (loop iff n_pad > 2048).  Outputs are bit-identical
+        across formulations.
 
     Returns:
       (sq_dists, idx, grouped_xyz, grouped_feat):
@@ -1249,6 +1304,10 @@ def knn_group_pallas(
     c_pad = _round_up(max(c3, 128), 128)
     cf = _round_up(max(c, 128), 128)
     k_pad = _round_up(max(k, 128), 128)
+    if select == "auto":
+        select = "loop" if n_pad > 2048 else "unroll"
+    if select not in ("loop", "unroll"):
+        raise ValueError(f"select must be auto|loop|unroll, got {select!r}")
     if tile_m is None:
         # the (tm, k·cf) accumulator (plus its output block) scales with
         # k·cf — stay at 128 rows for wide gathers and big clouds
@@ -1269,9 +1328,15 @@ def knn_group_pallas(
     # r3u §C round 3) where a 2-tile model predicted 14.4/10.0 MiB; the
     # 10-tile coefficient below upper-bounds both observations.
     fixed = (n_pad * c_pad * 4 + (3 if exact else 1) * n_pad * cf * 2
-             + n_pad * 16 * 2 + n_pad * 4)
+             + 3 * n_pad * 16 * 2 + n_pad * 4)
+    # live (tm, n)-tile count: unrolled keeps ~10 knockout-chain copies
+    # (CALIBRATED round 3, see above); the fori_loop form carries the
+    # chain in a double-buffered loop state and rebuilds gather one-hots
+    # post-loop (bf16, short-lived) — budgeted at 5 f32-equivalents
+    # (2 carry + init + 2 bf16 one-hots + scheduling slack)
+    live_tiles = 5 if select == "loop" else 10
     per_row = (2 * c_pad * 4          # query block (double-buffered)
-               + 10 * n_pad * 4       # live knockout-chain tiles (calib.)
+               + live_tiles * n_pad * 4  # live (tm, n) f32 tiles (calib.)
                + n_pad * 4            # distance-matmul temporary
                + 2 * k * cf * 4       # gather accumulator + out block
                + 2 * 2 * k_pad * 4    # idx + dist out (double-buffered)
@@ -1305,16 +1370,16 @@ def knn_group_pallas(
                      memory_space=pltpu.VMEM),
     ]
     if with_xyz:
-        # xyz 3-term decomposition, term-major in 9 lane columns
-        xt1, xt2, xt3 = _bf16_terms(points.astype(jnp.float32))
-        x9 = jnp.zeros((b, n_pad, 16), jnp.bfloat16)
-        x9 = x9.at[:, :n, 0:3].set(xt1)
-        x9 = x9.at[:, :n, 3:6].set(xt2)
-        x9 = x9.at[:, :n, 6:9].set(xt3)
-        inputs.append(x9)
-        in_specs.append(
-            pl.BlockSpec((1, n_pad, 16), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM))
+        # xyz 3-term decomposition, one 16-lane table per term — the
+        # terms accumulate in f32 inside the kernel like the exact
+        # feature path (the round-3 lane-packed single table lost the
+        # t2/t3 correction terms on real hardware)
+        for xt in _bf16_terms(points.astype(jnp.float32)):
+            xtbl = jnp.zeros((b, n_pad, 16), jnp.bfloat16)
+            inputs.append(xtbl.at[:, :n, 0:3].set(xt))
+            in_specs.append(
+                pl.BlockSpec((1, n_pad, 16), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM))
 
     f32 = feats.astype(jnp.float32)
     t1, t2, t3 = _bf16_terms(f32)
@@ -1346,7 +1411,8 @@ def knn_group_pallas(
             jax.ShapeDtypeStruct((b, k, m_pad, 16), jnp.float32))
 
     outs = pl.pallas_call(
-        _make_knn_group_kernel(k, exact, with_xyz, drop_first),
+        _make_knn_group_kernel(k, exact, with_xyz, drop_first,
+                               loop_select=(select == "loop")),
         grid=(b, m_pad // tile_m),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1360,15 +1426,9 @@ def knn_group_pallas(
     gfeat = feat_out[:, :m].reshape(b, m, k, cf)[..., :c]
     gxyz = None
     if with_xyz:
-        x9g = jnp.transpose(outs[3], (0, 2, 1, 3))[:, :m]  # (b, m, k, 16)
-        # term-major reconstruction.  NOTE (measured, round 3 session 2):
-        # on real MXU hardware the gathered t2/t3 correction terms do not
-        # survive the kernel's accumulation path, so the reconstructed xyz
-        # degrades to bf16 grade (rel ~2.1e-3 vs the exact gather) even
-        # though interpret mode is bit-exact — see the knn_group_pallas
-        # docstring and bench.parity_guard's measured bounds.  Open
-        # round-4 kernel item; the exact composed path stays the default.
-        gxyz = (x9g[..., 0:3] + x9g[..., 3:6] + x9g[..., 6:9])
+        # terms already accumulated in f32 inside the kernel (the exact
+        # feature path's structure) — lanes 0:3 hold the coordinates
+        gxyz = jnp.transpose(outs[3], (0, 2, 1, 3))[:, :m, :, 0:3]
     return dists, idx, gxyz, gfeat
 
 

@@ -512,6 +512,45 @@ class TestKnnGroupPallas:
         assert np.array_equal(np.asarray(i), np.asarray(i0))
         assert (np.asarray(i) % 2 == 1).all()  # biased columns sort last
 
+    @pytest.mark.parametrize("n,m,c,k,exact,drop_first", [
+        (300, 100, 37, 8, True, False),
+        (2304, 64, 128, 16, True, True),   # n > 2048: auto picks 'loop'
+        (150, 150, 5, 4, False, False),
+    ])
+    def test_loop_select_bit_identical(self, rng, n, m, c, k, exact,
+                                       drop_first):
+        """The fori_loop selection + post-loop one-hot gathers (the
+        large-n formulation that breaks the round-3 n<=2048 VMEM wall)
+        must match the unrolled form bit-for-bit on every output."""
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas
+
+        pts = jnp.asarray(rng.randn(2, n, 3), np.float32)
+        q = jnp.asarray(rng.randn(2, m, 3), np.float32)
+        fe = jnp.asarray(rng.randn(2, n, c), np.float32)
+        outs_u = knn_group_pallas(k, pts, q, fe, interpret=True,
+                                  exact=exact, drop_first=drop_first,
+                                  select="unroll")
+        outs_l = knn_group_pallas(k, pts, q, fe, interpret=True,
+                                  exact=exact, drop_first=drop_first,
+                                  select="loop")
+        for name, a, b in zip(("dist", "idx", "gxyz", "gfeat"),
+                              outs_u, outs_l):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), name
+
+    def test_loop_select_with_column_bias(self, rng):
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas
+
+        pts = jnp.asarray(rng.randn(1, 40, 3), np.float32)
+        q = jnp.asarray(rng.randn(1, 16, 3), np.float32)
+        fe = jnp.asarray(rng.randn(1, 40, 6), np.float32)
+        bias = jnp.zeros((1, 40), np.float32).at[:, ::2].set(1e10)
+        outs_u = knn_group_pallas(4, pts, q, fe, bias, interpret=True,
+                                  select="unroll")
+        outs_l = knn_group_pallas(4, pts, q, fe, bias, interpret=True,
+                                  select="loop")
+        for a, b in zip(outs_u, outs_l):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
     def test_grad_matches_composed_autodiff(self, rng):
         """The custom VJP must equal autodiff of the composed
         top_k + gather path — the refiner trains through this op."""
