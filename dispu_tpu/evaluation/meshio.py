@@ -40,6 +40,21 @@ def read_off(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return verts, np.asarray(faces, np.int32)
 
 
+def write_off(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Write a triangle mesh in the standard OFF layout ``read_off``
+    parses (header line, counts line, vertex rows, '3 i j k' face rows).
+    Used by the held-out evaluation-set builder (scripts/build_heldout.py)."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    with open(path, "w") as f:
+        f.write("OFF\n")
+        f.write(f"{len(verts)} {len(faces)} 0\n")
+        for v in verts:
+            f.write(f"{v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for t in faces:
+            f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
 def read_ply(path: str, return_attributes: bool = False):
     """Read vertex positions from an ASCII or binary_little_endian PLY.
 

@@ -99,6 +99,18 @@ class TestMeshBuilders:
             _check_mesh(v, f)
 
 
+class TestOffRoundtrip:
+    def test_write_read_off(self, tmp_path):
+        from dispu_tpu.evaluation.meshio import read_off, write_off
+
+        verts, faces = superellipsoid(0.8, 0.8, nu=16, nv=24)
+        p = str(tmp_path / "m.off")
+        write_off(p, verts, faces)
+        v2, f2 = read_off(p)
+        np.testing.assert_allclose(v2, verts, atol=1e-6)
+        np.testing.assert_array_equal(f2, faces)
+
+
 class TestPoissonDisk:
     def test_count_and_spacing(self):
         verts, faces = harmonic_sphere([(2, 2, 0.1)], nu=48, nv=64)
