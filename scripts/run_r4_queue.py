@@ -1,0 +1,42 @@
+"""Run the round-4 TPU measurement sessions in ONE process.
+
+Chip grants take minutes and serialize across processes, so the round-4
+kernel/GAN profiles ride one grant back to back (same pattern as
+scripts/run_r3_queue.py).
+
+    cd /root/repo && PYTHONPATH=/root/repo:/root/.axon_site \
+        python -u scripts/run_r4_queue.py
+"""
+
+import sys
+import time
+import traceback
+
+from scripts import profile_r4a, profile_r4b
+
+
+def main():
+    import jax
+
+    try:
+        print(f"probing backend {time.strftime('%H:%M:%S')} ...", flush=True)
+        print("backend ok:", jax.devices(), flush=True)
+    except Exception:
+        traceback.print_exc()
+        print("BACKEND UNAVAILABLE", flush=True)
+        sys.exit(17)
+    for name, mod in (("r4a", profile_r4a), ("r4b", profile_r4b)):
+        print(f"===== {name} start {time.strftime('%H:%M:%S')} =====",
+              flush=True)
+        try:
+            mod.main()
+        except Exception:
+            traceback.print_exc()
+            print(f"===== {name} FAILED =====", flush=True)
+        else:
+            print(f"===== {name} done {time.strftime('%H:%M:%S')} =====",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
