@@ -238,17 +238,19 @@ def grouping(
     Pallas kernel (:func:`dispu_tpu.ops.pallas_kernels.knn_group_pallas`):
     the selection rounds' knockout masks double as one-hot gather operands
     on the MXU, so the grouped tensor costs no separate gather pass.
-    kNN dists/idx are bit-identical to the composed path.  Gathered
-    values on REAL hardware (interpret mode is bit-exact): features hold
-    f32 round-off (measured 5.1e-6 relative — in-kernel MXU accumulation
-    order), but the xyz 3-term reconstruction degrades to bf16-grade
-    (measured 2.1e-3 — the correction terms do not survive the hardware
-    path; open kernel item).  ``bench.parity_guard`` prints and bounds
-    both every session (4e-3 / 1e-5).  ``'fused_turbo'`` additionally
-    bf16-rounds the gathered FEATURES like ``impl='onehot'``.  Both
-    modes are therefore TURBO-envelope paths; they fall back to the
-    composed path off-TPU and above the measured win region (n > 2048
-    or c > 384 — see the gate below).
+    At n ≤ 2048 (the unrolled form) kNN dists/idx are bit-identical to
+    the composed path; above it the fori_loop form's VMEM-lean distance
+    layout may deviate by ~1 ulp and resolve exact near-ties
+    differently (see ``knn_group_pallas``'s ``select`` doc).  Gathered
+    values on REAL hardware (interpret mode is bit-exact): features and
+    xyz hold f32 round-off for the returned indices (features measured
+    5.1e-6 relative — in-kernel MXU accumulation order; xyz rides the
+    same in-kernel 3-term accumulation since round 4).
+    ``bench.parity_guard`` prints and bounds the deviations every
+    session.  ``'fused_turbo'`` additionally bf16-rounds the gathered
+    FEATURES like ``impl='onehot'``.  Both modes are therefore
+    TURBO-envelope paths; they fall back to the composed path off-TPU
+    and outside the measured envelope (see the gate below).
     """
     if use_knn and gather_impl in ("fused", "fused_turbo"):
         # n ≤ 2048 rides the round-3 unrolled form (measured r3u §K:
@@ -258,11 +260,20 @@ def grouping(
         # knockout chain blew at (32,4096,c128) — the shape the 16x
         # second pass actually runs (win region measured on chip by
         # scripts/profile_r4a.py; see PERFORMANCE.md round 4)
+        n_pad_f = max(src_xyz.shape[1], 128)
+        n_pad_f = (n_pad_f + 127) // 128 * 128
+        cf_f = max(feature.shape[-1], 128)
+        cf_f = (cf_f + 127) // 128 * 128
         fits = (
             jax.default_backend() not in ("cpu", "gpu")
             and src_xyz.shape[1] <= 4096
             and feature.shape[-1] <= 384
             and src_xyz.shape[-1] == 3
+            # the exact loop form's 3 bf16 term tables must stay
+            # VMEM-resident (calibrated: n_pad·cf ≤ 4096·128, see
+            # knn_group_pallas); turbo has no such limit here
+            and (gather_impl == "fused_turbo" or n_pad_f <= 2048
+                 or n_pad_f * cf_f <= 4096 * 128)
         )
         if fits:
             from dispu_tpu.ops.pallas_kernels import knn_group_pallas_diff

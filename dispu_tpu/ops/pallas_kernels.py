@@ -795,7 +795,9 @@ def _make_gather_kernel(exact: bool = True):
         n_pad = t.shape[0]
         tq = idx.shape[-1]
 
-        t1 = t.astype(jnp.bfloat16)
+        # masked-truncation split (_bf16_terms): immune to the
+        # excess-precision convert fold in any compiler
+        t1, t2, t3 = _bf16_terms(t)
 
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, tq), 0)
         ohT = (rows == idx).astype(jnp.bfloat16)   # (n_pad, tq)
@@ -805,9 +807,6 @@ def _make_gather_kernel(exact: bool = True):
             ohT, t1, dn, preferred_element_type=jnp.float32
         )
         if exact:
-            r1 = t - t1.astype(jnp.float32)
-            t2 = r1.astype(jnp.bfloat16)
-            t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
             acc = acc + jax.lax.dot_general(
                 ohT, t2, dn, preferred_element_type=jnp.float32
             )
@@ -898,10 +897,7 @@ def _make_scatter_kernel():
         rows = jax.lax.broadcasted_iota(jnp.int32, (n_pad, g.shape[0]), 0)
         ohT = (rows == idx).astype(jnp.bfloat16)
 
-        g1 = g.astype(jnp.bfloat16)
-        r1 = g - g1.astype(jnp.float32)
-        g2 = r1.astype(jnp.bfloat16)
-        g3 = (r1 - g2.astype(jnp.float32)).astype(jnp.bfloat16)
+        g1, g2, g3 = _bf16_terms(g)  # masked-truncation split (exact)
 
         dn = (((1,), (0,)), ((), ()))
         acc = jax.lax.dot_general(
@@ -1062,7 +1058,7 @@ knn_pallas_diff.defvjp(_knn_diff_fwd, _knn_diff_bwd)
 
 
 def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
-                           drop_first: bool, loop_select: bool = False):
+                           drop_first: bool):
     """Fused kNN + neighborhood gather: selection drives per-round MXU
     gathers, so the (b, m, k, [3+]c) grouped tensor never needs a separate
     index round-trip or wide gather pass.
@@ -1100,17 +1096,9 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
     original accumulator formulation failed real-chip compilation even
     with static offsets), and each ref is still written exactly once.
 
-    ``loop_select`` restructures the body for LARGE n: the statically
-    unrolled selection keeps ~10 knockout-chain (tm, n) f32 tiles live
-    (measured round 3 — 17.4 MiB stacks at n=4096, the VMEM wall that
-    gated this kernel to n ≤ 2048), so instead the selection runs as a
-    ``fori_loop`` whose only (tm, n)-sized live state is the
-    double-buffered knockout carry, and the gathers run AFTER the loop,
-    statically unrolled, rebuilding each round's one-hot by comparing
-    the lane iota against the stored winner index (one VPU compare per
-    kept slot — the extra cost over the fused in-loop masks; the
-    selection sequence and every gather matmul operand are identical,
-    so outputs match the unrolled form bit-for-bit in both modes).
+    This is the statically UNROLLED formulation (n_pad ≤ 2048 — the
+    knockout chain keeps ~10 (tm, n) f32 tiles live); large n rides
+    :func:`_make_knn_group_loop_kernel`.
 
     Replaces ``knn_pallas`` + the combined [xyz|feature] ``group_point``
     of ``ops.grouping.grouping`` (ref:Common/ops.py:154-179) and the
@@ -1171,46 +1159,19 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
                         onehot, xt, dn, preferred_element_type=jnp.float32)
                 x9_parts.append(g9)
 
-        if loop_select:
-            # fori_loop selection: the knockout chain's only live
-            # (tm, n)-sized state is the double-buffered carry
-            shift = 1 if drop_first else 0
-
-            def body(j, carry):
-                dc, idx_a, dist_a = carry
-                mv2 = jnp.min(dc, axis=1, keepdims=True)
-                hit = jnp.where(dc == mv2, lane, n_pad)
-                sel2 = jnp.min(hit, axis=1, keepdims=True)
+        dc = d
+        for j in range(rounds):
+            mv2 = jnp.min(dc, axis=1, keepdims=True)
+            hit = jnp.where(dc == mv2, lane, n_pad)
+            sel2 = jnp.min(hit, axis=1, keepdims=True)
+            if j + 1 < rounds:
                 dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
-                # slot < 0 (dropped self column) matches no lane_k entry
-                slot = j - shift
-                idx_a = jnp.where(lane_k == slot, sel2, idx_a)
-                dist_a = jnp.where(lane_k == slot, mv2, dist_a)
-                return dc, idx_a, dist_a
-
-            _, idx_acc, dist_acc = jax.lax.fori_loop(
-                0, rounds, body, (d, idx_acc, dist_acc))
-            for j in range(k):
-                # column-j extraction as a masked row-sum — avoids the
-                # unaligned lane slice idx_acc[:, j] Mosaic relayouts
-                sel = jnp.sum(
-                    jnp.where(lane_k == j, idx_acc, 0), axis=1,
-                    keepdims=True)
-                _gather((lane == sel).astype(jnp.bfloat16))
-        else:
-            dc = d
-            for j in range(rounds):
-                mv2 = jnp.min(dc, axis=1, keepdims=True)
-                hit = jnp.where(dc == mv2, lane, n_pad)
-                sel2 = jnp.min(hit, axis=1, keepdims=True)
-                if j + 1 < rounds:
-                    dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
-                slot = j - 1 if drop_first else j
-                if slot < 0:
-                    continue  # self column: selected, knocked out, no gather
-                idx_acc = jnp.where(lane_k == slot, sel2, idx_acc)
-                dist_acc = jnp.where(lane_k == slot, mv2, dist_acc)
-                _gather((lane == sel2).astype(jnp.bfloat16))
+            slot = j - 1 if drop_first else j
+            if slot < 0:
+                continue  # self column: selected, knocked out, no gather
+            idx_acc = jnp.where(lane_k == slot, sel2, idx_acc)
+            dist_acc = jnp.where(lane_k == slot, mv2, dist_acc)
+            _gather((lane == sel2).astype(jnp.bfloat16))
         idx_ref[0] = idx_acc
         dist_ref[0] = dist_acc
         feat_ref[0] = jnp.concatenate(feat_parts, axis=1)
@@ -1220,15 +1181,159 @@ def _make_knn_group_kernel(k: int, exact: bool, with_xyz: bool,
     return kernel
 
 
+def _make_knn_group_loop_kernel(k: int, exact: bool, with_xyz: bool,
+                                drop_first: bool):
+    """Large-n fused kNN+gather: selection AND gathers in one fori_loop.
+
+    The unrolled form's knockout chain keeps ~10 (tm, n) f32 tiles live
+    (measured 17.4 MiB stacks at n=4096 — the round-3 VMEM wall), so
+    here the chain is the double-buffered loop carry and each round's
+    knockout mask doubles as its gather one-hot exactly as in the
+    unrolled form; gather results accumulate into plane-major
+    (k, tm, lanes) carries via an iota-select on the plane index
+    (write-once per plane — gathered rows always match the returned
+    idx exactly).  Two further VMEM cuts vs the unrolled layout, both
+    probed via the chipless AOT compiler (a post-loop one-hot-rebuild
+    variant measured 28.34 MiB; in-loop gathers with the unrolled
+    tables still 27.18 MiB — the double-buffered input tables
+    dominate):
+
+    * the kNN keys arrive as TRANSPOSED coordinate planes (8, n_pad)
+      f32 (128 KiB at n=4096 vs the 2 MiB (n_pad, 128) row table), with
+      ``p2``/``q2`` precomputed host-side — the distance matmul
+      contracts K=8 instead of K=128 over the same three nonzero
+      coordinate lanes.  The values agree with the unrolled form to
+      ~1 ulp but NOT bitwise (see ``knn_group_pallas``'s ``select``
+      doc — cross-program bit-identity is not compiler-stable);
+    * the three bf16 xyz term tables (each lane-padded 16→128) pack
+      into ONE (n_pad, 16) table, lanes 0:9 = [t1|t2|t3]: one gather
+      matmul per round accumulates all three terms' rows in f32
+      per-lane, and the caller sums the term lanes post-kernel —
+      (g1+g2)+g3 of exactly-gathered f32 terms reproduces the exact
+      row by the ``_bf16_terms`` invariant, the same argument as the
+      in-kernel feature-term accumulation.
+
+    Ref order: pT (1, 8, n_pad) f32, q (1, tm, 8) f32, bias+p2 each
+    (1, 1, n_pad) f32, q2 (1, tm, 1) f32 (host-side, explicit
+    (x²+y²)+z² order — an in-kernel 8-lane reduce associated
+    differently under jit), [x9 table (1, n_pad, 16) bf16],
+    features × nft (1, n_pad, cf) bf16, then outs idx/dist
+    (1, tm, k_pad), feat (1, k, tm, cf), [x9 (1, k, tm, 16)].
+    """
+
+    def kernel(pt_ref, q_ref, bias_ref, p2_ref, q2_ref, *rest):
+        pos = 1 if with_xyz else 0
+        nft = 3 if exact else 1
+        ft_refs = rest[pos:pos + nft]
+        out_refs = rest[pos + nft:]
+        idx_ref, dist_ref, feat_ref = out_refs[:3]
+        pt = pt_ref[0]    # (8, n_pad) coordinate planes
+        q = q_ref[0]      # (tm, 8)
+        n_pad = pt.shape[1]
+        tm = q.shape[0]
+        k_pad = idx_ref.shape[-1]
+        cf = ft_refs[0].shape[-1]
+
+        q2 = q2_ref[0]    # (tm, 1) host-side explicit-order squares
+        qp = jax.lax.dot_general(
+            q, pt, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d = jnp.maximum(q2 - 2.0 * qp + p2_ref[0], 0.0) + bias_ref[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (tm, k_pad), 1)
+        plane_f = jax.lax.broadcasted_iota(jnp.int32, (k, tm, cf), 0)
+        fts = [r[0] for r in ft_refs]
+        if with_xyz:
+            x9t = rest[0][0]  # (n_pad, 16) bf16, lanes 0:9 = t1|t2|t3
+            plane_x = jax.lax.broadcasted_iota(jnp.int32, (k, tm, 16), 0)
+        dn = (((1,), (0,)), ((), ()))  # (tm, n) @ (n, c): contract n
+        rounds = k + 1 if drop_first else k
+        shift = 1 if drop_first else 0
+
+        def body(j, carry):
+            if with_xyz:
+                dc, idx_a, dist_a, feat_a, x9_a = carry
+            else:
+                dc, idx_a, dist_a, feat_a = carry
+            mv2 = jnp.min(dc, axis=1, keepdims=True)
+            hit = jnp.where(dc == mv2, lane, n_pad)
+            sel2 = jnp.min(hit, axis=1, keepdims=True)
+            hot = lane == sel2
+            dc = jnp.where(hot, _KNN_SENTINEL, dc)
+            # slot < 0 (dropped self column) matches no lane_k entry
+            # and no plane index — the round selects, knocks out, and
+            # accumulates nothing
+            slot = j - shift
+            idx_a = jnp.where(lane_k == slot, sel2, idx_a)
+            dist_a = jnp.where(lane_k == slot, mv2, dist_a)
+            onehot = hot.astype(jnp.bfloat16)
+            g = jax.lax.dot_general(
+                onehot, fts[0], dn, preferred_element_type=jnp.float32)
+            for ft in fts[1:]:
+                g = g + jax.lax.dot_general(
+                    onehot, ft, dn, preferred_element_type=jnp.float32)
+            feat_a = jnp.where(plane_f == slot, g[None], feat_a)
+            if not with_xyz:
+                return dc, idx_a, dist_a, feat_a
+            g9 = jax.lax.dot_general(
+                onehot, x9t, dn, preferred_element_type=jnp.float32)
+            x9_a = jnp.where(plane_x == slot, g9[None], x9_a)
+            return dc, idx_a, dist_a, feat_a, x9_a
+
+        init = (d,
+                jnp.zeros((tm, k_pad), jnp.int32),
+                jnp.zeros((tm, k_pad), jnp.float32),
+                jnp.zeros((k, tm, cf), jnp.float32))
+        if with_xyz:
+            init = init + (jnp.zeros((k, tm, 16), jnp.float32),)
+        fin = jax.lax.fori_loop(0, rounds, body, init)
+        idx_ref[0] = fin[1]
+        dist_ref[0] = fin[2]
+        feat_ref[0] = fin[3]
+        if with_xyz:
+            out_refs[3][0] = fin[4]
+
+    return kernel
+
+
 def _bf16_terms(x: jnp.ndarray):
     """Exact 3-term bf16 decomposition: t1 + t2 + t3 == x for normal f32
-    (each residual carries ≤8 fresh mantissa bits; partial sums are
-    f32-representable — the invariant the exact one-hot gathers rely on)."""
-    t1 = x.astype(jnp.bfloat16)
-    r1 = x - t1.astype(jnp.float32)
-    t2 = r1.astype(jnp.bfloat16)
-    t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
-    return t1, t2, t3
+    (each term keeps the next ≤8 significant bits; partial sums are
+    f32-representable — the invariant the exact one-hot gathers rely on).
+
+    Implemented by integer mantissa masking (bitcast + and), NOT the
+    textbook convert round-trip (``t = bf16(x); r = x - f32(t)``): the
+    TPU toolchain here forces ``--xla_allow_excess_precision=true``,
+    under which XLA may legally fold ``convert_f32(convert_bf16(v))``
+    back to ``v`` — zeroing the residual terms.  Measured on chip
+    (round 4): whether the fold fired depended on the surrounding
+    fusion, silently degrading some fused gathers to bf16 grade
+    (1.9e-3) while leaving others f32-exact in the same session.
+    The integer path reproduces round-to-nearest-even exactly, so every
+    term is BIT-IDENTICAL to the convert formulation (t1 == bf16(x) —
+    the turbo paths' single-term contract is unchanged); the residual
+    subtractions are exact in f32 regardless of intermediate precision,
+    and every f32→bf16 convert below is exact because the low mantissa
+    bits are already zero — there is no rounding for any optimizer to
+    move.  Works identically inside Mosaic kernels (the gather/scatter
+    kernels call it on VMEM-resident values) and in host XLA
+    (kernel-operand table construction)."""
+    mask = jnp.uint32(0xFFFF0000)
+
+    def rne16(v):  # f32 -> f32 with the low 16 bits rounded away (RNE)
+        vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        bias = jnp.uint32(0x7FFF) + ((vb >> jnp.uint32(16)) & jnp.uint32(1))
+        return jax.lax.bitcast_convert_type((vb + bias) & mask, jnp.float32)
+
+    t1f = rne16(x)
+    r1 = x - t1f  # exact: ≤16 significant bits remain
+    t2f = rne16(r1)
+    r2 = r1 - t2f  # exact: ≤8 significant bits remain (bf16-exact)
+    return (t1f.astype(jnp.bfloat16), t2f.astype(jnp.bfloat16),
+            r2.astype(jnp.bfloat16))
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5, 6, 7, 8, 9, 10))
@@ -1276,11 +1381,28 @@ def knn_group_pallas(
       select: selection formulation — 'unroll' (round-3 form: statically
         unrolled rounds whose knockout masks double as the gather
         one-hots; ~10 live (tm, n) f32 chain tiles, VMEM-bound to
-        n_pad ≤ 2048), 'loop' (fori_loop selection + post-loop unrolled
-        gathers — the carry is the only (tm, n) live state, so
-        n_pad = 4096 fits; one extra VPU compare per kept slot), or
-        'auto' (loop iff n_pad > 2048).  Outputs are bit-identical
-        across formulations.
+        n_pad ≤ 2048), 'loop' (selection + gathers fused in one
+        fori_loop — the double-buffered carry is the only (tm, n) live
+        state, so n_pad = 4096 fits; gathers accumulate into
+        plane-major carries via an iota-select per round), or
+        'auto' (loop iff n_pad > 2048).  CONTRACT DIFFERENCE: the loop
+        form's VMEM-lean distance layout (K=8 coordinate-plane matmul,
+        host-side squared norms) evaluates the same quantity in a
+        different order, so its DISTANCES may deviate from the
+        unrolled/knn_pallas values by ~1 ulp, and selection may pick a
+        different neighbor where two distances are within that ulp
+        (bit-identity across different kernel programs is not
+        compiler-stable: even a byte-identical distance section
+        deviates once the surrounding program changes XLA's fusion —
+        measured, round 4).  The gathered rows always match the
+        RETURNED idx exactly (f32 round-off on chip).  The production
+        dispatch never runs both forms at one shape (loop only above
+        n_pad 2048, where `grouping` documents the fused path as a
+        turbo-envelope surface); `bench.parity_guard` bounds the loop
+        form's deviations on chip every session.  The exact (3-term)
+        loop form additionally requires n_pad·cf ≤ 4096·128 (VMEM
+        table residency — ValueError above it; turbo has no such
+        limit up to n_pad 4096 / cf 256).
 
     Returns:
       (sq_dists, idx, grouped_xyz, grouped_feat):
@@ -1308,7 +1430,8 @@ def knn_group_pallas(
         select = "loop" if n_pad > 2048 else "unroll"
     if select not in ("loop", "unroll"):
         raise ValueError(f"select must be auto|loop|unroll, got {select!r}")
-    if tile_m is None:
+    tile_auto = tile_m is None
+    if tile_auto:
         # the (tm, k·cf) accumulator (plus its output block) scales with
         # k·cf — stay at 128 rows for wide gathers and big clouds
         tile_m = 256 if (n_pad <= 2048 and k * cf <= 2048) else 128
@@ -1327,20 +1450,47 @@ def knn_group_pallas(
     # (both OOMed the 16 MiB limit on chip: scripts/profile_r3r.py and
     # r3u §C round 3) where a 2-tile model predicted 14.4/10.0 MiB; the
     # 10-tile coefficient below upper-bounds both observations.
-    fixed = (n_pad * c_pad * 4 + (3 if exact else 1) * n_pad * cf * 2
-             + 3 * n_pad * 16 * 2 + n_pad * 4)
-    # live (tm, n)-tile count: unrolled keeps ~10 knockout-chain copies
-    # (CALIBRATED round 3, see above); the fori_loop form carries the
-    # chain in a double-buffered loop state and rebuilds gather one-hots
-    # post-loop (bf16, short-lived) — budgeted at 5 f32-equivalents
-    # (2 carry + init + 2 bf16 one-hots + scheduling slack)
-    live_tiles = 5 if select == "loop" else 10
-    per_row = (2 * c_pad * 4          # query block (double-buffered)
-               + live_tiles * n_pad * 4  # live (tm, n) f32 tiles (calib.)
-               + n_pad * 4            # distance-matmul temporary
-               + 2 * k * cf * 4       # gather accumulator + out block
-               + 2 * 2 * k_pad * 4    # idx + dist out (double-buffered)
-               + (2 * k * 16 * 4 if with_xyz else 0))
+    nft = 3 if exact else 1
+    if select == "loop":
+        # CALIBRATED envelope (chipless AOT compile probes at the 16x
+        # second-pass shapes, PERFORMANCE.md round 4 — a linear
+        # fixed+per-row model underpredicted the measured stacks by
+        # ~2x, so the caps are measured, not derived):
+        #   table bytes/2 = nft·n_pad·cf (bf16, double-buffered)
+        #   exact (nft=3): (2304,c128) tm96 / (3072,c128) tm48 /
+        #     (4096,c128) tm16 compile (tm24 16.18M FAILs);
+        #     (4096,cf256) 26.9M > 16M at ANY tile — the three
+        #     resident term tables no longer fit
+        #   turbo (nft=1): (4096,cf128) tm96 (tm128 16.71M FAILs);
+        #     (4096,cf256) tm48
+        area = n_pad * cf
+        if exact and area > 4096 * 128:
+            raise ValueError(
+                "knn_group_pallas select='loop' exact mode exceeds the"
+                f" VMEM envelope at n_pad*cf = {area} (> {4096 * 128}):"
+                " the three bf16 term tables cannot stay VMEM-resident;"
+                " use exact=False (turbo) or the composed knn+gather"
+                " path (ops.grouping)")
+        if tile_auto:
+            if exact:
+                cap = (96 if area <= 2304 * 128
+                       else 48 if area <= 3072 * 128 else 16)
+            else:
+                cap = 96 if area <= 4096 * 128 else 48
+            tile_m = min(tile_m, cap)
+        # explicit tile_m is the caller's experiment (compile may OOM)
+        fixed, per_row = 0, 0  # calibrated caps replace the formula
+    else:
+        fixed = (n_pad * c_pad * 4 + nft * n_pad * cf * 2
+                 + 3 * n_pad * 16 * 2 + n_pad * 4)
+        # live (tm, n)-tile count: unrolled keeps ~10 knockout-chain
+        # copies (CALIBRATED round 3, see above)
+        per_row = (2 * c_pad * 4       # query block (double-buffered)
+                   + 10 * n_pad * 4    # live (tm, n) f32 tiles (calib.)
+                   + n_pad * 4         # distance-matmul temporary
+                   + 2 * k * cf * 4    # gather accumulator + out block
+                   + 2 * 2 * k_pad * 4  # idx + dist out (double-buffered)
+                   + (2 * k * 16 * 4 if with_xyz else 0))
     budget = 15 * 2**20
     while tile_m > 8 and fixed + tile_m * per_row > budget:
         # halve along an 8-aligned lattice: a non-power-of-two start
@@ -1350,36 +1500,86 @@ def knn_group_pallas(
     tile_m = max(8, tile_m)
     m_pad = _round_up(max(m, tile_m), tile_m)
 
-    pts = jnp.zeros((b, n_pad, c_pad), jnp.float32)
-    pts = pts.at[:, :n, :c3].set(points.astype(jnp.float32))
-    qs = jnp.zeros((b, m_pad, c_pad), jnp.float32)
-    qs = qs.at[:, :m, :c3].set(queries.astype(jnp.float32))
     bias = jnp.full((b, 1, n_pad), 1e30, jnp.float32)
     if column_bias is None:
         bias = bias.at[:, 0, :n].set(0.0)
     else:
         bias = bias.at[:, 0, :n].set(column_bias.astype(jnp.float32))
 
-    inputs = [pts, qs, bias]
-    in_specs = [
-        pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_m, c_pad), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    if with_xyz:
-        # xyz 3-term decomposition, one 16-lane table per term — the
-        # terms accumulate in f32 inside the kernel like the exact
-        # feature path (the round-3 lane-packed single table lost the
-        # t2/t3 correction terms on real hardware)
-        for xt in _bf16_terms(points.astype(jnp.float32)):
+    p32 = points.astype(jnp.float32)
+    if select == "loop":
+        # transposed coordinate planes + host-side p2 (the loop
+        # kernel's VMEM-lean distance layout — same three nonzero
+        # contraction lanes; values agree with the unrolled form to
+        # ≤1 ulp, see the `select` docstring)
+        ptp = jnp.zeros((b, 8, n_pad), jnp.float32)
+        ptp = ptp.at[:, :c3, :n].set(jnp.transpose(p32, (0, 2, 1)))
+        qs = jnp.zeros((b, m_pad, 8), jnp.float32)
+        qs = qs.at[:, :m, :c3].set(queries.astype(jnp.float32))
+        # explicit (x²+y²)+z² for BOTH squared-norm inputs — the
+        # in-kernel padded-lane tree reduce's association; a fused sum
+        # over few lanes is free to associate differently under jit
+        # (observed 1-ulp dist deviations)
+        def _sq_norm(x):
+            sq = x * x
+            s = sq[..., 0]
+            for ci in range(1, c3):
+                s = s + sq[..., ci]
+            return s
+
+        p2 = jnp.zeros((b, 1, n_pad), jnp.float32)
+        p2 = p2.at[:, 0, :n].set(_sq_norm(p32))
+        q2 = jnp.zeros((b, m_pad, 1), jnp.float32)
+        q2 = q2.at[:, :m, 0].set(_sq_norm(queries.astype(jnp.float32)))
+        inputs = [ptp, qs, bias, p2, q2]
+        in_specs = [
+            pl.BlockSpec((1, 8, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 8), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if with_xyz:
+            # ONE packed 16-lane table, lanes 0:9 = [t1|t2|t3]; the
+            # caller sums the exactly-gathered term lanes post-kernel
+            t1, t2, t3 = _bf16_terms(p32)
             xtbl = jnp.zeros((b, n_pad, 16), jnp.bfloat16)
-            inputs.append(xtbl.at[:, :n, 0:3].set(xt))
+            xtbl = (xtbl.at[:, :n, 0:3].set(t1)
+                    .at[:, :n, 3:6].set(t2)
+                    .at[:, :n, 6:9].set(t3))
+            inputs.append(xtbl)
             in_specs.append(
                 pl.BlockSpec((1, n_pad, 16), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM))
+    else:
+        pts = jnp.zeros((b, n_pad, c_pad), jnp.float32)
+        pts = pts.at[:, :n, :c3].set(p32)
+        qs = jnp.zeros((b, m_pad, c_pad), jnp.float32)
+        qs = qs.at[:, :m, :c3].set(queries.astype(jnp.float32))
+        inputs = [pts, qs, bias]
+        in_specs = [
+            pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, c_pad), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if with_xyz:
+            # xyz 3-term decomposition, one 16-lane table per term —
+            # the terms accumulate in f32 inside the kernel like the
+            # exact feature path
+            for xt in _bf16_terms(p32):
+                xtbl = jnp.zeros((b, n_pad, 16), jnp.bfloat16)
+                inputs.append(xtbl.at[:, :n, 0:3].set(xt))
+                in_specs.append(
+                    pl.BlockSpec((1, n_pad, 16), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM))
 
     f32 = feats.astype(jnp.float32)
     t1, t2, t3 = _bf16_terms(f32)
@@ -1395,14 +1595,24 @@ def knn_group_pallas(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tile_m, k_pad), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile_m, k * cf), lambda i, j: (i, j, 0),
-                     memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.int32),
         jax.ShapeDtypeStruct((b, m_pad, k_pad), jnp.float32),
-        jax.ShapeDtypeStruct((b, m_pad, k * cf), jnp.float32),
     ]
+    if select == "loop":
+        # plane-major feature carry (the in-loop accumulator's layout)
+        out_specs.append(
+            pl.BlockSpec((1, k, tile_m, cf), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, k, m_pad, cf), jnp.float32))
+    else:
+        out_specs.append(
+            pl.BlockSpec((1, tile_m, k * cf), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, m_pad, k * cf), jnp.float32))
     if with_xyz:
         out_specs.append(
             pl.BlockSpec((1, k, tile_m, 16), lambda i, j: (i, 0, j, 0),
@@ -1410,9 +1620,11 @@ def knn_group_pallas(
         out_shape.append(
             jax.ShapeDtypeStruct((b, k, m_pad, 16), jnp.float32))
 
+    kernel = (_make_knn_group_loop_kernel(k, exact, with_xyz, drop_first)
+              if select == "loop"
+              else _make_knn_group_kernel(k, exact, with_xyz, drop_first))
     outs = pl.pallas_call(
-        _make_knn_group_kernel(k, exact, with_xyz, drop_first,
-                               loop_select=(select == "loop")),
+        kernel,
         grid=(b, m_pad // tile_m),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1423,12 +1635,22 @@ def knn_group_pallas(
 
     dists = dist_out[:, :m, :k]
     idx = idx_out[:, :m, :k]
-    gfeat = feat_out[:, :m].reshape(b, m, k, cf)[..., :c]
+    if select == "loop":
+        gfeat = jnp.transpose(feat_out, (0, 2, 1, 3))[:, :m, :, :c]
+    else:
+        gfeat = feat_out[:, :m].reshape(b, m, k, cf)[..., :c]
     gxyz = None
     if with_xyz:
-        # terms already accumulated in f32 inside the kernel (the exact
-        # feature path's structure) — lanes 0:3 hold the coordinates
-        gxyz = jnp.transpose(outs[3], (0, 2, 1, 3))[:, :m, :, 0:3]
+        x9 = jnp.transpose(outs[3], (0, 2, 1, 3))[:, :m]
+        if select == "loop":
+            # packed-table lanes: per-term gathered rows, each exact —
+            # (t1+t2)+t3 reproduces the exact coordinate by the
+            # _bf16_terms invariant (partial sums f32-representable)
+            gxyz = (x9[..., 0:3] + x9[..., 3:6]) + x9[..., 6:9]
+        else:
+            # terms already accumulated in f32 inside the kernel —
+            # lanes 0:3 hold the coordinates
+            gxyz = x9[..., 0:3]
     return dists, idx, gxyz, gfeat
 
 

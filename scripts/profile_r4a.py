@@ -5,9 +5,11 @@ n <= 2048 because the statically unrolled selection keeps ~10 knockout-
 chain (tm, n) f32 tiles live — 17.4 MiB stacks at (32,4096,c128), over
 the 16 MiB VMEM envelope, and the tile_m=64 squeeze that did fit lost to
 the composed path (67.0 vs 47.8 ms, scripts/profile_r3r.py).  Round 4
-adds ``select='loop'`` (fori_loop selection + post-loop one-hot
-rebuilds) whose only (tm, n) live state is the double-buffered carry.
-This session measures, on chip:
+adds ``select='loop'`` — a fused fori_loop selection+gather body whose
+only (tm, n) live state is the double-buffered carry.  (A first variant
+that rebuilt gather one-hots in a post-loop unrolled pass compiled to a
+28.34 MiB stack — the k independent rebuilds scheduled concurrently —
+and was replaced by the fused body.)  This session measures, on chip:
 
   A. kernel-level at the 16x second-pass shape (32,4096,k16,c128):
      loop-fused exact/turbo at tile_m auto/96/128 vs the composed paths
@@ -52,14 +54,15 @@ def main():
         fe = jnp.asarray(R.randn(b, n, c), jnp.float32)
 
         for sel in ("loop",) if n > 2048 else ("loop", "unroll"):
-            timed(f"A fused {sel} exact ({b},{n},k{k},c{c})",
-                  lambda p, f, k=k, s=sel: knn_group_pallas(
-                      k, p, p, f, select=s)[2:],
-                  (pts, fe), iters=10)
-            timed(f"A fused {sel} turbo ({b},{n},k{k},c{c})",
-                  lambda p, f, k=k, s=sel: knn_group_pallas(
-                      k, p, p, f, exact=False, select=s)[2:],
-                  (pts, fe), iters=10)
+            for tag, kw in (("exact", {}), ("turbo", {"exact": False})):
+                try:
+                    timed(f"A fused {sel} {tag} ({b},{n},k{k},c{c})",
+                          lambda p, f, k=k, s=sel, kw=kw: knn_group_pallas(
+                              k, p, p, f, select=s, **kw)[2:],
+                          (pts, fe), iters=10)
+                except Exception as e:  # VMEM envelope probe
+                    print(f"A fused {sel} {tag} ({b},{n}): FAILED "
+                          f"{type(e).__name__}", flush=True)
         if n > 2048:
             for tm in (96, 128):
                 try:
@@ -81,9 +84,14 @@ def main():
         gx0 = jax.vmap(lambda t, ii: t[ii])(pts, i0)
         gf0 = jax.vmap(lambda t, ii: t[ii])(fe, i0)
         for sel in ("loop", "unroll") if n <= 2048 else ("loop",):
-            d1, i1, gx1, gf1 = jax.jit(
-                lambda p, f, s=sel: knn_group_pallas(
-                    k, p, p, f, select=s))(pts, fe)
+            try:
+                d1, i1, gx1, gf1 = jax.jit(
+                    lambda p, f, s=sel: knn_group_pallas(
+                        k, p, p, f, select=s))(pts, fe)
+            except Exception as e:
+                print(f"B parity {sel} ({b},{n}): FAILED "
+                      f"{type(e).__name__}", flush=True)
+                continue
             sel_ok = bool(jnp.array_equal(i0, i1)
                           and jnp.array_equal(d0, d1))
             dev_x = float(jnp.max(jnp.abs(gx0 - gx1))

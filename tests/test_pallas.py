@@ -384,6 +384,55 @@ class TestQueryBallPallas:
         assert np.isfinite(np.asarray(g)).all()
 
 
+class TestBf16Terms:
+    """The 3-term split behind every exact bf16 one-hot gather.
+
+    It is implemented with integer RNE (bitcast + add + mask) rather
+    than the textbook convert round-trip, because XLA under
+    --xla_allow_excess_precision=true (forced by the TPU toolchain
+    here) may fold convert_f32(convert_bf16(v)) -> v and zero the
+    residual terms — observed on chip in round 4, fusion-dependently.
+    These tests pin the integer path to the convert semantics bit for
+    bit; the on-chip regression net is bench.parity_guard."""
+
+    def test_terms_match_convert_roundtrip_bitwise(self, rng):
+        from dispu_tpu.ops.pallas_kernels import _bf16_terms
+
+        # exponent range keeps the second residual's magnitude
+        # (~|x|·2^-18) above the f32/bf16 subnormal boundary, where
+        # XLA's convert flushes but ml_dtypes does not (the documented
+        # normal-f32 contract edge)
+        x = np.asarray(
+            rng.randn(4096).astype(np.float32)
+            * 10.0 ** rng.uniform(-25, 25, 4096).astype(np.float32))
+        # numpy oracle: the textbook convert formulation (numpy cannot
+        # elide it — no excess-precision rewriter)
+        import ml_dtypes
+        t1o = x.astype(ml_dtypes.bfloat16)
+        r1 = x - t1o.astype(np.float32)
+        t2o = r1.astype(ml_dtypes.bfloat16)
+        t3o = (r1 - t2o.astype(np.float32)).astype(ml_dtypes.bfloat16)
+
+        t1, t2, t3 = (np.asarray(t) for t in
+                      jax.jit(_bf16_terms)(jnp.asarray(x)))
+        np.testing.assert_array_equal(t1.view(np.uint16), t1o.view(np.uint16))
+        np.testing.assert_array_equal(t2.view(np.uint16), t2o.view(np.uint16))
+        np.testing.assert_array_equal(t3.view(np.uint16), t3o.view(np.uint16))
+
+    def test_exact_reconstruction_and_partial_sums(self, rng):
+        from dispu_tpu.ops.pallas_kernels import _bf16_terms
+
+        x = np.asarray(rng.randn(2048).astype(np.float32)
+                       * 10.0 ** rng.uniform(-20, 20, 2048))
+        x = x.astype(np.float32)
+        t1, t2, t3 = (np.asarray(t).astype(np.float32) for t in
+                      _bf16_terms(jnp.asarray(x)))
+        # (t1 + t2) + t3 == x exactly, in this association (the kernels'
+        # f32 accumulation order)
+        np.testing.assert_array_equal((t1 + t2) + t3, x)
+        assert np.abs(t2[x != 0]).max() > 0  # residuals actually carry bits
+
+
 class TestGatherRowsPallas:
     def test_bit_identical_to_native_gather(self, rng):
         from dispu_tpu.ops.pallas_kernels import gather_rows_pallas
@@ -512,16 +561,47 @@ class TestKnnGroupPallas:
         assert np.array_equal(np.asarray(i), np.asarray(i0))
         assert (np.asarray(i) % 2 == 1).all()  # biased columns sort last
 
+    @staticmethod
+    def _check_loop_contract(outs_u, outs_l, pts, fe, exact,
+                             rel=3e-6):
+        """The loop form's contract vs the unrolled form (the two never
+        compete at one production shape — see knn_group_pallas's
+        `select` doc): distances within ~1 ulp (its VMEM-lean distance
+        layout evaluates the same quantity in a different order, and
+        cross-program bit-identity is not compiler-stable), idx equal
+        except where the unrolled distances tie within that ulp, and
+        gathered rows BIT-EXACT for the loop's OWN indices (interpret
+        mode; the gather matmul operands are exact one-hots)."""
+        d_u, i_u, gx_u, gf_u = (np.asarray(o) for o in outs_u)
+        d_l, i_l, gx_l, gf_l = (np.asarray(o) for o in outs_l)
+        scale = np.abs(d_u).max()
+        assert np.max(np.abs(d_u - d_l)) <= rel * scale
+        mism = i_u != i_l
+        if mism.any():
+            # every index swap must be a near-tie of the distances
+            assert np.abs(d_u[mism] - d_l[mism]).max() <= rel * scale
+        # self-consistency: gathers reproduce the table rows of i_l
+        pts_n, fe_n = np.asarray(pts), np.asarray(fe)
+        for b in range(i_l.shape[0]):
+            assert np.array_equal(gx_l[b], pts_n[b][i_l[b]])
+            if exact:
+                assert np.array_equal(gf_l[b], fe_n[b][i_l[b]])
+            else:
+                t1 = np.asarray(jnp.asarray(fe_n[b]).astype(
+                    jnp.bfloat16).astype(jnp.float32))
+                assert np.array_equal(gf_l[b], t1[i_l[b]])
+
     @pytest.mark.parametrize("n,m,c,k,exact,drop_first", [
         (300, 100, 37, 8, True, False),
         (2304, 64, 128, 16, True, True),   # n > 2048: auto picks 'loop'
         (150, 150, 5, 4, False, False),
     ])
-    def test_loop_select_bit_identical(self, rng, n, m, c, k, exact,
-                                       drop_first):
-        """The fori_loop selection + post-loop one-hot gathers (the
-        large-n formulation that breaks the round-3 n<=2048 VMEM wall)
-        must match the unrolled form bit-for-bit on every output."""
+    def test_loop_select_contract(self, rng, n, m, c, k, exact,
+                                  drop_first):
+        """The fused fori_loop selection+gather body (the large-n
+        formulation that breaks the round-3 n<=2048 VMEM wall) must
+        satisfy the documented near-exact contract vs the unrolled
+        form (idx/gathers exact modulo ulp-level distance ties)."""
         from dispu_tpu.ops.pallas_kernels import knn_group_pallas
 
         pts = jnp.asarray(rng.randn(2, n, 3), np.float32)
@@ -533,11 +613,11 @@ class TestKnnGroupPallas:
         outs_l = knn_group_pallas(k, pts, q, fe, interpret=True,
                                   exact=exact, drop_first=drop_first,
                                   select="loop")
-        for name, a, b in zip(("dist", "idx", "gxyz", "gfeat"),
-                              outs_u, outs_l):
-            assert np.array_equal(np.asarray(a), np.asarray(b)), name
+        self._check_loop_contract(outs_u, outs_l, pts, fe, exact)
 
     def test_loop_select_with_column_bias(self, rng):
+        """Biased (duplicate-masked) columns must sort last in the loop
+        form exactly as in the unrolled form."""
         from dispu_tpu.ops.pallas_kernels import knn_group_pallas
 
         pts = jnp.asarray(rng.randn(1, 40, 3), np.float32)
@@ -548,8 +628,20 @@ class TestKnnGroupPallas:
                                   select="unroll")
         outs_l = knn_group_pallas(4, pts, q, fe, bias, interpret=True,
                                   select="loop")
-        for a, b in zip(outs_u, outs_l):
-            assert np.array_equal(np.asarray(a), np.asarray(b))
+        self._check_loop_contract(outs_u, outs_l, pts, fe, True)
+        assert (np.asarray(outs_l[1]) % 2 == 1).all()  # biased sort last
+
+    def test_loop_select_exact_envelope_error(self, rng):
+        """The exact loop form raises above the calibrated VMEM table
+        envelope (n_pad*cf > 4096*128) instead of OOMing at compile."""
+        from dispu_tpu.ops.pallas_kernels import knn_group_pallas
+
+        pts = jnp.asarray(rng.randn(1, 4096, 3), np.float32)
+        q = jnp.asarray(rng.randn(1, 8, 3), np.float32)
+        fe = jnp.asarray(rng.randn(1, 4096, 131), np.float32)
+        with pytest.raises(ValueError, match="VMEM envelope"):
+            knn_group_pallas(16, pts, q, fe, interpret=True,
+                             select="loop")
 
     def test_grad_matches_composed_autodiff(self, rng):
         """The custom VJP must equal autodiff of the composed
