@@ -84,9 +84,16 @@ def main():
         gcfg = GeneratorConfig()
         t0 = time.perf_counter()
         if args.path and args.path.endswith(".msgpack"):
+            from dispu_tpu.config import ExperimentConfig
+            from dispu_tpu.train.state import create_generator_state
             from dispu_tpu.utils.checkpoint import restore_checkpoint
 
-            variables = restore_checkpoint(args.path)
+            ecfg = ExperimentConfig()
+            template = create_generator_state(
+                jax.random.PRNGKey(0), ecfg.generator, ecfg.train)
+            state = restore_checkpoint(args.path, template)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
         else:
             variables = DisPUGenerator(cfg=gcfg).init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 256, 3), jnp.float32),
