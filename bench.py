@@ -98,6 +98,16 @@ def parity_guard():
     )
     hp_ok = bool(jnp.array_equal(g_ref, g_hp))
 
+    # 3-pass bf16-split gather (the n>2048 exact reroute) vs native
+    # gather, bit-equal, AT the second-pass scale it dispatches for
+    feats4k = jnp.asarray(rng.randn(2, 4096, 131), jnp.float32)
+    idx4k = jnp.asarray(rng.randint(0, 4096, (2, 4096, 16)), jnp.int32)
+    g3_ref = jax.jit(lambda f, i: group_point(f, i))(feats4k, idx4k)
+    g3 = jax.jit(lambda f, i: group_point(f, i, impl="onehot3"))(
+        feats4k, idx4k
+    )
+    oh3_ok = bool(jnp.array_equal(g3_ref, g3))
+
     # fused kNN+gather vs the composed path, at the three production
     # envelopes (PERFORMANCE.md round 4):
     #   unroll/exact (n ≤ 2048): dists/idx BIT-equal to knn_pallas;
@@ -179,14 +189,14 @@ def parity_guard():
 
     print(
         "parity knn_pallas=%s knn_packed_contract=%s fps_pallas=%s "
-        "fps_bucketed=%s onehot_hp_gather=%s ball_query=%s "
-        "fused_knn_gather=%s morton_rank=%s"
+        "fps_bucketed=%s onehot_hp_gather=%s onehot3_gather=%s "
+        "ball_query=%s fused_knn_gather=%s morton_rank=%s"
         % tuple("ok" if b else "MISMATCH"
                 for b in (knn_ok, packed_ok, fps_ok, bfps_ok, hp_ok,
-                          ball_ok, fused_ok, radix_ok))
+                          oh3_ok, ball_ok, fused_ok, radix_ok))
     )
     assert (knn_ok and packed_ok and fps_ok and bfps_ok and hp_ok
-            and ball_ok and fused_ok and radix_ok), \
+            and oh3_ok and ball_ok and fused_ok and radix_ok), \
         "on-chip kernel parity failed"
 
 

@@ -125,6 +125,50 @@ def selection_sort(dist: jnp.ndarray, k: int):
     return -neg, idx
 
 
+# exact-gather impl used when onehot_hp reroutes at n > 2048 (see
+# group_point); measurement scripts may set "gather" to A/B the reroute
+_EXACT_BIG_GATHER = "onehot3"
+
+
+@jax.custom_vjp
+def _gather_onehot3(points: jnp.ndarray, onehot: jnp.ndarray):
+    """Bit-exact one-hot gather in 3 bf16 MXU passes.
+
+    The one-hot has a single exact 1.0 per row, so only the TABLE needs
+    splitting: each pass gathers one ``_bf16_terms`` term's rows
+    exactly (f32 accumulation), and ``(g1 + g2) + g3`` reconstructs the
+    f32 rows bit-exactly — half of ``precision=HIGHEST``'s 6 passes
+    (which must split both operands).  A custom VJP is required because
+    the fold-proof integer-RNE ``_bf16_terms`` is built from bitcasts
+    (no autodiff rule); the true gradient is the gather transpose —
+    out is linear in ``points`` with exact-1.0 coefficients.
+    """
+    from dispu_tpu.ops.pallas_kernels import _bf16_terms
+
+    g1, g2, g3 = (
+        jnp.einsum("bqn,bnc->bqc", onehot, t,
+                   preferred_element_type=jnp.float32)
+        for t in _bf16_terms(points)
+    )
+    return (g1 + g2) + g3
+
+
+def _gather_onehot3_fwd(points, onehot):
+    return _gather_onehot3(points, onehot), onehot
+
+
+def _gather_onehot3_bwd(onehot, g):
+    # gather transpose: deterministic scatter-add as an exact f32
+    # contraction (each product is 1.0 · g; HIGHEST keeps it exact)
+    d_points = jnp.einsum(
+        "bqn,bqc->bnc", onehot.astype(jnp.float32), g,
+        precision=jax.lax.Precision.HIGHEST)
+    return d_points, jnp.zeros_like(onehot)
+
+
+_gather_onehot3.defvjp(_gather_onehot3_fwd, _gather_onehot3_bwd)
+
+
 def group_point(
     points: jnp.ndarray, idx: jnp.ndarray, impl: str = "gather"
 ) -> jnp.ndarray:
@@ -141,11 +185,15 @@ def group_point(
         single 1.0, and the 3-term bf16 decomposition of an f32 operand is
         exact, so the result is *bit-identical* to the native gather while
         still running on the MXU (verified on-chip each bench session) —
-        or 'pallas' — the fused VMEM-resident kernel
+        'onehot3' — the one-hot is exact in bf16 so only the TABLE needs
+        splitting: 3 bf16 MXU passes over the ``_bf16_terms``
+        decomposition instead of HIGHEST's 6 (which splits both
+        operands), same bit-exact contract — or 'pallas' — the fused
+        VMEM-resident kernel
         (:func:`dispu_tpu.ops.pallas_kernels.gather_rows_pallas`): the same
-        exact values in 3 MXU passes instead of HIGHEST's 6, with the
-        one-hot never materialized in HBM; falls back to the native gather
-        off-TPU or for non-f32 tables.
+        exact values in 3 MXU passes with the one-hot never materialized
+        in HBM; falls back to the native gather off-TPU or for non-f32
+        tables.
 
     Returns:
       (b, m, nsample, c).
@@ -172,12 +220,16 @@ def group_point(
         # the HIGHEST-precision one-hot contraction does O(n) MXU work
         # PER GATHERED ROW in ~6 bf16 passes; at the refiner's second-pass
         # scale it loses to the memory-bound native gather (45.5 vs
-        # 39.3 ms at (32, 4096, 16, 131)) — and onehot_hp ≡ gather
-        # bit-for-bit, so the reroute preserves the exactness contract.
-        # The single-pass bf16 'onehot' (turbo mode, documented value
-        # deviation) stays on the MXU: 21.6 ms at the same shape.
-        impl = "gather"
-    if impl in ("onehot", "onehot_hp"):
+        # 39.3 ms at (32, 4096, 16, 131)).  'onehot3' halves the passes
+        # (only the table needs splitting — the one-hot is exact in
+        # bf16) with the same bit-exact contract, putting the MXU back
+        # ahead of the memory-bound native gather at this scale
+        # (scripts/profile_r4c.py; bench.parity_guard asserts
+        # onehot3 ≡ gather on chip).  _EXACT_BIG_GATHER is module state
+        # only so the profile scripts can A/B the reroute in context.
+        impl = (_EXACT_BIG_GATHER
+                if points.dtype == jnp.float32 else "gather")
+    if impl in ("onehot", "onehot_hp", "onehot3"):
         b, n, c = points.shape
         m, k = idx.shape[1], idx.shape[2]
         if impl == "onehot":
@@ -187,6 +239,11 @@ def group_point(
             out = jnp.einsum(
                 "bqn,bnc->bqc", onehot, points.astype(jnp.bfloat16)
             )
+        elif impl == "onehot3":
+            onehot = jax.nn.one_hot(
+                idx.reshape(b, m * k), n, dtype=jnp.bfloat16
+            )
+            out = _gather_onehot3(points.astype(jnp.float32), onehot)
         else:
             # NOTE: a 3-term bf16 value split (exact, 3 passes instead of
             # HIGHEST's 6) measures faster in isolation (10.4 → 6.2 ms at
@@ -238,42 +295,30 @@ def grouping(
     Pallas kernel (:func:`dispu_tpu.ops.pallas_kernels.knn_group_pallas`):
     the selection rounds' knockout masks double as one-hot gather operands
     on the MXU, so the grouped tensor costs no separate gather pass.
-    At n ≤ 2048 (the unrolled form) kNN dists/idx are bit-identical to
-    the composed path; above it the fori_loop form's VMEM-lean distance
-    layout may deviate by ~1 ulp and resolve exact near-ties
-    differently (see ``knn_group_pallas``'s ``select`` doc).  Gathered
-    values on REAL hardware (interpret mode is bit-exact): features and
-    xyz hold f32 round-off for the returned indices (features measured
-    5.1e-6 relative — in-kernel MXU accumulation order; xyz rides the
-    same in-kernel 3-term accumulation since round 4).
-    ``bench.parity_guard`` prints and bounds the deviations every
-    session.  ``'fused_turbo'`` additionally bf16-rounds the gathered
-    FEATURES like ``impl='onehot'``.  Both modes are therefore
-    TURBO-envelope paths; they fall back to the composed path off-TPU
-    and outside the measured envelope (see the gate below).
+    kNN dists/idx are bit-identical to the composed path, and since the
+    round-4 ``_bf16_terms`` fix the gathered features and xyz are
+    bit-exact on real hardware too (``bench.parity_guard`` asserts all
+    of this every session).  ``'fused_turbo'`` bf16-rounds the gathered
+    FEATURES like ``impl='onehot'`` (documented value deviation), so
+    only that mode is a TURBO-envelope path.  Both fall back to the
+    composed path off-TPU and outside the measured win region (see the
+    gate below).
     """
     if use_knn and gather_impl in ("fused", "fused_turbo"):
         # n ≤ 2048 rides the round-3 unrolled form (measured r3u §K:
-        # 19.1 → 13.8 ms exact / 10.6 turbo at (64,1024,c128)); n ≤ 4096
-        # rides the round-4 fori_loop selection (knn_group_pallas
-        # select='loop'), which fits the VMEM envelope the unrolled
-        # knockout chain blew at (32,4096,c128) — the shape the 16x
-        # second pass actually runs (win region measured on chip by
-        # scripts/profile_r4a.py; see PERFORMANCE.md round 4)
-        n_pad_f = max(src_xyz.shape[1], 128)
-        n_pad_f = (n_pad_f + 127) // 128 * 128
-        cf_f = max(feature.shape[-1], 128)
-        cf_f = (cf_f + 127) // 128 * 128
+        # 19.1 → 13.8 ms exact / 10.6 turbo at (64,1024,c128)).  The
+        # round-4 fori_loop form (knn_group_pallas select='loop') fits
+        # the VMEM envelope at n=4096 that the unrolled knockout chain
+        # blew, but LOSES to the composed path there (r4a on chip:
+        # 82.65 ms fused-turbo vs 45.50 composed-onehot at
+        # (32,4096,c128); the serialized rounds cannot pipeline), so
+        # the dispatch gate stays at n ≤ 2048 and the loop form remains
+        # a measured-negative formulation, not a production path.
         fits = (
             jax.default_backend() not in ("cpu", "gpu")
-            and src_xyz.shape[1] <= 4096
+            and src_xyz.shape[1] <= 2048
             and feature.shape[-1] <= 384
             and src_xyz.shape[-1] == 3
-            # the exact loop form's 3 bf16 term tables must stay
-            # VMEM-resident (calibrated: n_pad·cf ≤ 4096·128, see
-            # knn_group_pallas); turbo has no such limit here
-            and (gather_impl == "fused_turbo" or n_pad_f <= 2048
-                 or n_pad_f * cf_f <= 4096 * 128)
         )
         if fits:
             from dispu_tpu.ops.pallas_kernels import knn_group_pallas_diff

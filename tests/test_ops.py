@@ -352,6 +352,28 @@ class TestGrouping:
             num = (f(jnp.asarray(pp)) - f(jnp.asarray(pm))) / (2 * eps)
             np.testing.assert_allclose(np.asarray(g)[bi, ni, ci], num, atol=1e-2)
 
+    def test_group_point_onehot3_bit_exact(self, rng):
+        """The 3-pass bf16-split MXU gather (the n>2048 exact reroute
+        target) must equal the native gather bit for bit — its terms
+        come from the fold-proof integer-RNE _bf16_terms split, and
+        each one-hot pass gathers its term's rows exactly."""
+        pts = (rng.randn(2, 64, 9).astype(np.float32)
+               * 10.0 ** rng.uniform(-8, 8, (2, 64, 9)).astype(np.float32))
+        idx = rng.randint(0, 64, size=(2, 20, 5)).astype(np.int32)
+        ref = np.asarray(ops.group_point(pts, idx))
+        got = np.asarray(jax.jit(
+            lambda p, i: ops.group_point(p, i, impl="onehot3"))(pts, idx))
+        np.testing.assert_array_equal(got, ref)
+        # grad flows through the einsum transpose (same scatter-add
+        # semantics as the native path)
+        g = jax.grad(lambda p: jnp.sum(
+            ops.group_point(p, jnp.asarray(idx), impl="onehot3")))(
+                jnp.asarray(pts))
+        gn = jax.grad(lambda p: jnp.sum(
+            ops.group_point(p, jnp.asarray(idx))))(jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gn),
+                                   rtol=1e-6, atol=0)
+
     def test_grouping_composite(self, rng):
         xyz = rng.randn(1, 40, 3).astype(np.float32)
         feat = rng.randn(1, 40, 7).astype(np.float32)
