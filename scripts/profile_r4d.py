@@ -69,7 +69,7 @@ def main():
         headline("pass2 exact native ", GeneratorConfig(num_points=1024),
                  batch=32)
     finally:
-        grouping_mod._EXACT_BIG_GATHER = "onehot3"
+        grouping_mod._EXACT_BIG_GATHER = "gather"
     jax.clear_caches()
 
     # ---- D: whole-cloud 16x exact (VERDICT target <= ~420 ms) ----------
