@@ -36,6 +36,7 @@ def parity_guard():
     from dispu_tpu.ops.pallas_kernels import (
         fps_bucketed_pallas,
         fps_pallas,
+        fps_pallas_chunked,
         knn_group_pallas,
         knn_pallas,
         query_ball_pallas,
@@ -80,6 +81,11 @@ def parity_guard():
     f_x = jax.jit(lambda p: _fps_xla(256, p))(pts)
     f_p = jax.jit(lambda p: fps_pallas(256, p))(pts)
     fps_ok = bool(jnp.array_equal(f_x, f_p))
+
+    # chunked-sweep FPS (the above-wide-envelope merge kernel) vs the
+    # same XLA loop (bit-equal indices)
+    f_c = jax.jit(lambda p: fps_pallas_chunked(256, p))(pts)
+    cfps_ok = bool(jnp.array_equal(f_x, f_c))
 
     # bucketed FPS: every bucket row's selection bit-equal to the XLA
     # loop on that bucket (the merge turbo mode's kernel)
@@ -189,14 +195,15 @@ def parity_guard():
 
     print(
         "parity knn_pallas=%s knn_packed_contract=%s fps_pallas=%s "
-        "fps_bucketed=%s onehot_hp_gather=%s onehot3_gather=%s "
-        "ball_query=%s fused_knn_gather=%s morton_rank=%s"
+        "fps_chunked=%s fps_bucketed=%s onehot_hp_gather=%s "
+        "onehot3_gather=%s ball_query=%s fused_knn_gather=%s "
+        "morton_rank=%s"
         % tuple("ok" if b else "MISMATCH"
-                for b in (knn_ok, packed_ok, fps_ok, bfps_ok, hp_ok,
-                          oh3_ok, ball_ok, fused_ok, radix_ok))
+                for b in (knn_ok, packed_ok, fps_ok, cfps_ok, bfps_ok,
+                          hp_ok, oh3_ok, ball_ok, fused_ok, radix_ok))
     )
-    assert (knn_ok and packed_ok and fps_ok and bfps_ok and hp_ok
-            and oh3_ok and ball_ok and fused_ok and radix_ok), \
+    assert (knn_ok and packed_ok and fps_ok and cfps_ok and bfps_ok
+            and hp_ok and oh3_ok and ball_ok and fused_ok and radix_ok), \
         "on-chip kernel parity failed"
 
 

@@ -126,8 +126,14 @@ def selection_sort(dist: jnp.ndarray, k: int):
 
 
 # exact-gather impl used when onehot_hp reroutes at n > 2048 (see
-# group_point); measurement scripts may set "gather" to A/B the reroute
-_EXACT_BIG_GATHER = "onehot3"
+# group_point); measurement scripts may rebind it to A/B the reroute.
+# 'gather' (native): wins isolated (33.74 vs onehot3's 47.59 ms at
+# (32,4096,k16,c131), scripts/profile_r4c.py), TIES in-context (115.6
+# vs 115.7 ms/fwd pass-2, scripts/profile_r4d.py — the gap hides under
+# the refiner's other work), and is safe for eager callers (onehot3
+# outside jit materializes the (b, m·k, n) one-hot as a ~16 GiB HBM
+# argument; under jit XLA fuses it away).
+_EXACT_BIG_GATHER = "gather"
 
 
 @jax.custom_vjp
@@ -219,14 +225,15 @@ def group_point(
     if impl == "onehot_hp" and points.shape[-2] > 2048:
         # the HIGHEST-precision one-hot contraction does O(n) MXU work
         # PER GATHERED ROW in ~6 bf16 passes; at the refiner's second-pass
-        # scale it loses to the memory-bound native gather (45.5 vs
-        # 39.3 ms at (32, 4096, 16, 131)).  'onehot3' halves the passes
-        # (only the table needs splitting — the one-hot is exact in
-        # bf16) with the same bit-exact contract, putting the MXU back
-        # ahead of the memory-bound native gather at this scale
-        # (scripts/profile_r4c.py; bench.parity_guard asserts
-        # onehot3 ≡ gather on chip).  _EXACT_BIG_GATHER is module state
-        # only so the profile scripts can A/B the reroute in context.
+        # scale it loses to the row-count-bound native gather (47.50 vs
+        # 33.74 ms at (32, 4096, 16, 131), scripts/profile_r4c.py).
+        # 'onehot3' halves the passes (only the table needs splitting —
+        # the one-hot is exact in bf16) but the one-hot operand traffic
+        # dominates, so it only TIES the 6-pass form (47.59) and still
+        # loses to native isolated; in-context the two reroute choices
+        # tie exactly (scripts/profile_r4d.py).  _EXACT_BIG_GATHER is
+        # module state only so the profile scripts can A/B the reroute;
+        # bench.parity_guard asserts onehot3 ≡ gather on chip.
         impl = (_EXACT_BIG_GATHER
                 if points.dtype == jnp.float32 else "gather")
     if impl in ("onehot", "onehot_hp", "onehot3"):

@@ -133,6 +133,273 @@ def fps_pallas(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
     return jax.lax.stop_gradient(out[:, 0, :npoint])
 
 
+def _make_fps_lite_kernel(npoint: int, rows: int):
+    def kernel(actual_n_ref, pts_ref, out_ref, mindist_ref):
+        """Traffic-lean form of ``_make_fps_kernel`` (bit-identical output).
+
+        Three of the wide kernel's per-round full-plane sweeps go away:
+
+        * coordinate extraction reads ONE dynamically-sliced (1, nr) row
+          per plane (the selected index's sublane row) instead of a
+          full-plane ``where(flat == last)`` masked max — 1/8 of the
+          traffic at rows=8;
+        * the ``where(valid, md, -1)`` re-mask is dropped: invalid
+          (padded) entries are initialized to -1 and squared distances
+          are >= 0, so ``min`` preserves the -1 sentinel by itself;
+        * the output write is a masked (1, 128) row at a dynamic sublane
+          offset instead of a full (1, m_pad) read-modify-write — at
+          merge scale (m_pad 80k+) that full row costs more than a
+          coordinate plane.
+
+        Selection math and order are unchanged, so results stay
+        bit-identical to ``_make_fps_kernel`` and ``_fps_xla`` (guarded
+        on chip by bench.parity_guard and in-session by
+        scripts/profile_r4g.py).
+        """
+        nr = pts_ref.shape[-1]
+        n = rows * nr
+        actual_n = actual_n_ref[0]
+        m_rows = out_ref.shape[1]
+
+        flat = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, nr), 0) * nr
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, nr), 1)
+        )
+        lane_nr = jax.lax.broadcasted_iota(jnp.int32, (1, nr), 1)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        x = pts_ref[0, 0]  # (rows, nr)
+        y = pts_ref[0, 1]
+        z = pts_ref[0, 2]
+
+        out_ref[0] = jnp.zeros((m_rows, 128), jnp.int32)
+        mindist_ref[:, :] = jnp.where(flat < actual_n, 1e38, -1.0)
+
+        def body(j, last):
+            # the selected point's coordinates: one (1, nr) sublane row
+            # per plane + an in-row masked max
+            r = last // nr
+            c = last - r * nr
+            hit = lane_nr == c
+            px = jnp.max(jnp.where(hit, pts_ref[0, 0, pl.ds(r, 1), :],
+                                   -jnp.inf))
+            py = jnp.max(jnp.where(hit, pts_ref[0, 1, pl.ds(r, 1), :],
+                                   -jnp.inf))
+            pz = jnp.max(jnp.where(hit, pts_ref[0, 2, pl.ds(r, 1), :],
+                                   -jnp.inf))
+            d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+            md = jnp.minimum(mindist_ref[:, :], d)  # invalid stays -1
+            mindist_ref[:, :] = md
+            # first-index argmax (matches jnp.argmax tie-breaking)
+            maxval = jnp.max(md)
+            nxt = jnp.min(jnp.where(md == maxval, flat, n)).astype(jnp.int32)
+            jr = j // 128
+            cur = out_ref[0, pl.ds(jr, 1), :]
+            out_ref[0, pl.ds(jr, 1), :] = jnp.where(
+                lane128 == j - jr * 128, nxt, cur
+            )
+            return nxt
+
+        jax.lax.fori_loop(1, npoint, body, jnp.int32(0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fps_pallas_lite(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
+    """Traffic-lean wide FPS kernel (see _make_fps_lite_kernel).
+
+    Same contract and bit-identical results as :func:`fps_pallas`; ~2/3
+    of its per-round VMEM traffic (scripts/profile_r4g.py A/B).
+    """
+    b, n, _ = xyz.shape
+    rows = 8
+    n_pad = _round_up(max(n, rows * 128), rows * 128)
+    nr = n_pad // rows
+    m_pad = _round_up(max(npoint, 128), 128)
+    xyz = jax.lax.stop_gradient(xyz)
+    pts = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (b, 3, n)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, n_pad - n)))
+    pts = pts.reshape(b, 3, rows, nr)  # row-major: flat index preserved
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, rows, nr), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m_pad // 128, 128), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((rows, nr), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        _make_fps_lite_kernel(npoint, rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, m_pad // 128, 128), jnp.int32),
+        interpret=interpret,
+    )(jnp.array([n], jnp.int32), pts)
+    return jax.lax.stop_gradient(out.reshape(b, m_pad)[:, :npoint])
+
+
+def _make_fps_chunked_kernel(npoint: int):
+    def kernel(actual_n_ref, pts_ref, out_ref, mindist_ref):
+        """One grid step = one cloud, n axis chunked into (8, 128) tiles.
+
+        pts (1, 3, nc, 8, 128) VMEM; out (1, m_pad//128, 128);
+        mindist scratch (nc, 8, 128).  Each round runs ONE fused sweep
+        over the chunks: the distance update, the min-distance store,
+        and a running argmax (value, flat index, AND the winning point's
+        coordinates) all ride the same chunk loads, so per-round VMEM
+        traffic is 3 coordinate-plane reads + the mindist read/write —
+        the wide kernel (``_make_fps_kernel``) pays ~2x that because its
+        coordinate extraction (3 full where+max passes over (8, nr))
+        and selection run as separate full-array sweeps.  Temporaries
+        are (8, 128)-sized instead of (8, nr)-sized, so the scoped-VMEM
+        stack stays small and the envelope covers merge scales the wide
+        kernel cannot compile at (18.8 MiB stack at n_pad=479232).
+
+        Selection semantics are bit-identical to ``_fps_xla``: chunks
+        are visited in natural point order and the running argmax uses
+        strict ``>``, so equal-distance ties keep the earliest chunk;
+        the final reduction takes the minimum flat index among tied
+        candidate positions — together that is exactly jnp.argmax's
+        first-occurrence rule.  Invalid (padded) entries hold mindist
+        -1, which ``min`` preserves (squared distances are >= 0) and the
+        final ``maxval >= 0`` candidate mask excludes.
+        """
+        nc = pts_ref.shape[2]
+        n = nc * 1024
+        actual_n = actual_n_ref[0]
+        m_rows = out_ref.shape[1]
+
+        row_l = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def init_chunk(c, _):
+            mindist_ref[c] = jnp.where(
+                c * 1024 + row_l < actual_n, 1e38, -1.0
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nc, init_chunk, 0)
+        out_ref[0] = jnp.zeros((m_rows, 128), jnp.int32)
+
+        # seed with index 0 (ref:tf_sampling_g.cu:114-116): extract the
+        # first point's coordinates from chunk 0
+        first = row_l == 0
+        c0x = jnp.max(jnp.where(first, pts_ref[0, 0, 0], -jnp.inf))
+        c0y = jnp.max(jnp.where(first, pts_ref[0, 1, 0], -jnp.inf))
+        c0z = jnp.max(jnp.where(first, pts_ref[0, 2, 0], -jnp.inf))
+
+        def round_body(j, q):
+            qx, qy, qz = q
+
+            def chunk(c, cc):
+                maxvec, flatvec, xv, yv, zv = cc
+                xc = pts_ref[0, 0, c]
+                yc = pts_ref[0, 1, c]
+                zc = pts_ref[0, 2, c]
+                d = (xc - qx) ** 2 + (yc - qy) ** 2 + (zc - qz) ** 2
+                nmd = jnp.minimum(mindist_ref[c], d)
+                mindist_ref[c] = nmd
+                upd = nmd > maxvec
+                return (
+                    jnp.where(upd, nmd, maxvec),
+                    jnp.where(upd, c * 1024 + row_l, flatvec),
+                    jnp.where(upd, xc, xv),
+                    jnp.where(upd, yc, yv),
+                    jnp.where(upd, zc, zv),
+                )
+
+            zero = jnp.zeros((8, 128), jnp.float32)
+            maxvec, flatvec, xv, yv, zv = jax.lax.fori_loop(
+                0, nc, chunk,
+                (jnp.full((8, 128), -2.0, jnp.float32),
+                 jnp.zeros((8, 128), jnp.int32), zero, zero, zero),
+            )
+            maxval = jnp.max(maxvec)
+            cand = maxvec == maxval
+            nxt = jnp.min(jnp.where(cand, flatvec, n)).astype(jnp.int32)
+            # candidate positions carry distinct flats, so exactly one
+            # position matches nxt — its coords seed the next round
+            sel = cand & (flatvec == nxt)
+            # masked (1, 128) row write at a dynamic sublane offset
+            # (Mosaic rejects scalar VMEM stores)
+            jr = j // 128
+            cur = out_ref[0, pl.ds(jr, 1), :]
+            out_ref[0, pl.ds(jr, 1), :] = jnp.where(
+                lane == j - jr * 128, nxt, cur
+            )
+            return (
+                jnp.max(jnp.where(sel, xv, -jnp.inf)),
+                jnp.max(jnp.where(sel, yv, -jnp.inf)),
+                jnp.max(jnp.where(sel, zv, -jnp.inf)),
+            )
+
+        jax.lax.fori_loop(1, npoint, round_body, (c0x, c0y, c0z))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def fps_pallas_chunked(
+    npoint: int, xyz: jnp.ndarray, interpret: bool = False
+):
+    """Chunked-sweep farthest-point sampling (see _make_fps_chunked_kernel).
+
+    Same contract as :func:`fps_pallas` — (b, npoint) int32, first index
+    0, bit-identical selection to the XLA loop — with ~half the per-round
+    VMEM traffic and an envelope that covers whole-cloud 16x merge scales
+    (n ~ 479k) where the wide kernel's scoped stack exceeds the 16 MiB
+    limit.
+    """
+    b, n, _ = xyz.shape
+    n_pad = _round_up(max(n, 1024), 1024)
+    nc = n_pad // 1024
+    m_pad = _round_up(max(npoint, 128), 128)
+    xyz = jax.lax.stop_gradient(xyz)
+    pts = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (b, 3, n)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, n_pad - n)))
+    # natural row-major reshape: point i -> (i // 1024, (i % 1024) // 128,
+    # i % 128) — flat order preserved, so selection parity holds
+    pts = pts.reshape(b, 3, nc, 8, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, nc, 8, 128), lambda i, *_: (i, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, m_pad // 128, 128), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((nc, 8, 128), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        _make_fps_chunked_kernel(npoint),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, m_pad // 128, 128), jnp.int32),
+        interpret=interpret,
+    )(jnp.array([n], jnp.int32), pts)
+    return jax.lax.stop_gradient(out.reshape(b, m_pad)[:, :npoint])
+
+
 def _make_fps_bucketed_kernel(m_per_bucket: int):
     def kernel(pts_ref, out_ref, mindist_ref):
         """All K bucket-local FPS loops advance together, one point per

@@ -24,8 +24,9 @@ def farthest_point_sample(
     Args:
       npoint: number of points to select (static).
       xyz: (b, n, 3) input points.
-      impl: 'auto' (Pallas kernel on TPU, XLA loop elsewhere), 'xla', or
-        'pallas'.
+      impl: 'auto' (on TPU: the wide Pallas kernel inside its measured
+        VMEM envelope, the chunked-sweep kernel above it, XLA loop past
+        both; XLA loop off-TPU), 'xla', 'pallas', or 'chunked'.
 
     Returns:
       (b, npoint) int32 indices; the first selected index is always 0.
@@ -39,12 +40,53 @@ def farthest_point_sample(
     the CUDA reference has its own tie order too).
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+        if jax.default_backend() in ("cpu", "gpu"):
+            impl = "xla"
+        elif _fps_pallas_fits(xyz.shape[1], npoint):
+            impl = "pallas"
+        elif _fps_chunked_fits(xyz.shape[1], npoint):
+            impl = "chunked"
+        else:
+            impl = "xla"
     if impl == "pallas":
         from dispu_tpu.ops.pallas_kernels import fps_pallas
 
         return fps_pallas(npoint, xyz)
+    if impl == "chunked":
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked
+
+        return fps_pallas_chunked(npoint, xyz)
     return _fps_xla(npoint, xyz)
+
+
+def _fps_pallas_fits(n: int, npoint: int) -> bool:
+    """Whether the VMEM-resident FPS kernel's scoped stack fits on chip.
+
+    The kernel holds the whole cloud in VMEM (3 coordinate planes + the
+    mindist scratch + iota/compare temps), so very large merges must fall
+    back to the XLA loop.  Calibrated on chip: at n_pad=479232,
+    m_pad=160000 (16x on a 10k-point cloud) Mosaic reports an 18.80 MiB
+    scoped allocation against the 16 MiB limit — ~38 B/point + 8 B/sample;
+    budget 15 MiB with those coefficients (round-3 merge scales sit at
+    ~10 MiB and keep the measured kernel path).
+    """
+    n_pad = -(-max(n, 1024) // 1024) * 1024
+    m_pad = -(-max(npoint, 128) // 128) * 128
+    return 40 * n_pad + 8 * m_pad <= 15 * 2**20
+
+
+def _fps_chunked_fits(n: int, npoint: int) -> bool:
+    """Envelope for the chunked-sweep kernel (fps_pallas_chunked).
+
+    Its temporaries are (8, 128)-sized, so the budget is VMEM-residency
+    of the operands, not the scoped stack: coordinate planes (12 B/pt,
+    double-buffered across grid steps) + the mindist scratch (4 B/pt) +
+    the output rows.  Cap well under the 128 MiB v5e VMEM; the 16x merge
+    on a 10k cloud (n_pad 479232) sits at ~14 MiB.
+    """
+    n_pad = -(-max(n, 1024) // 1024) * 1024
+    m_pad = -(-max(npoint, 128) // 128) * 128
+    return 28 * n_pad + 8 * m_pad <= 64 * 2**20
 
 
 @functools.partial(jax.jit, static_argnums=0)

@@ -155,6 +155,34 @@ class TestSampling:
         got = np.asarray(ops.farthest_point_sample(8, xyz))
         assert (got[:, 0] == 0).all()
 
+    def test_fps_pallas_vmem_gate(self):
+        """auto must fall back to the XLA loop above the kernel's VMEM
+        envelope (the 16x merge on a 10k-point cloud compiles to an
+        18.8 MiB scoped stack vs the 16 MiB limit — a compile-time OOM
+        without the gate)."""
+        from dispu_tpu.ops.sampling import _fps_pallas_fits
+
+        assert _fps_pallas_fits(1024, 256)  # patch-scale
+        assert _fps_pallas_fits(237568, 80000)  # 16x merge, 5k cloud
+        assert not _fps_pallas_fits(479232, 160000)  # 16x merge, 10k cloud
+
+    def test_fps_chunked_envelope(self):
+        """Shapes above the wide kernel's envelope route to the chunked
+        kernel, which must cover the 16x merge on a 10k cloud."""
+        from dispu_tpu.ops.sampling import _fps_chunked_fits
+
+        assert _fps_chunked_fits(479232, 160000)
+        assert not _fps_chunked_fits(4_000_000, 160000)
+
+    def test_fps_chunked_impl_matches_xla(self, rng):
+        xyz = rng.randn(2, 200, 3).astype(np.float32)
+        want = np.asarray(ops.farthest_point_sample(32, xyz, impl="xla"))
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked
+
+        got = np.asarray(
+            fps_pallas_chunked(32, jnp.asarray(xyz), interpret=True))
+        np.testing.assert_array_equal(got, want)
+
     def test_bucketed_fps_covers_like_exact(self, rng):
         """Golden quality check for the documented-approximate merge mode
         (farthest_point_sample_bucketed): on a patchy overlapping cloud —

@@ -27,6 +27,108 @@ class TestFPSPallas:
         assert len(set(got[0].tolist())) == 64  # all distinct
 
 
+class TestFPSLitePallas:
+    @pytest.mark.parametrize(
+        "n,npoint", [(100, 16), (128, 32), (300, 64), (1500, 200)]
+    )
+    def test_matches_xla_fps(self, rng, n, npoint):
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_lite
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        xyz = rng.randn(2, n, 3).astype(np.float32)
+        want = np.asarray(_fps_xla(npoint, jnp.asarray(xyz)))
+        got = np.asarray(
+            fps_pallas_lite(npoint, jnp.asarray(xyz), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_tie_order_with_duplicates(self, rng):
+        """Equal-distance ties must resolve first-occurrence; the lite
+        form drops the per-round valid re-mask and extracts coordinates
+        via a dynamic row slice, neither of which may change selection."""
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_lite
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        base = rng.randn(64, 3).astype(np.float32)
+        xyz = np.tile(base, (20, 1))[None]  # (1, 1280, 3) with duplicates
+        want = np.asarray(_fps_xla(96, jnp.asarray(xyz)))
+        got = np.asarray(
+            fps_pallas_lite(96, jnp.asarray(xyz), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_padding_and_row_boundary(self, rng):
+        """n = 1030 pads to 2048 (nr 256): padded slots never selected;
+        npoint 300 > 128 exercises the dynamic-sublane output rows."""
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_lite
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        xyz = rng.randn(1, 1030, 3).astype(np.float32)
+        want = np.asarray(_fps_xla(300, jnp.asarray(xyz)))
+        got = np.asarray(
+            fps_pallas_lite(300, jnp.asarray(xyz), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+        assert got.max() < 1030
+
+
+class TestFPSChunkedPallas:
+    @pytest.mark.parametrize(
+        "n,npoint", [(100, 16), (1024, 128), (1500, 200), (2300, 150)]
+    )
+    def test_matches_xla_fps(self, rng, n, npoint):
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        xyz = rng.randn(2, n, 3).astype(np.float32)
+        want = np.asarray(_fps_xla(npoint, jnp.asarray(xyz)))
+        got = np.asarray(
+            fps_pallas_chunked(npoint, jnp.asarray(xyz), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_tie_order_with_duplicates(self, rng):
+        """Exact-distance ties (duplicated points) must resolve to the
+        first-occurrence index, matching jnp.argmax in the XLA loop —
+        the running strict-> argmax keeps the earliest chunk and the
+        final reduction the minimum flat index."""
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        base = rng.randn(40, 3).astype(np.float32)
+        # tile the same 40 points across 3 chunks' worth of slots
+        xyz = np.tile(base, (52, 1))[None]  # (1, 2080, 3) -> nc=3
+        want = np.asarray(_fps_xla(64, jnp.asarray(xyz)))
+        got = np.asarray(
+            fps_pallas_chunked(64, jnp.asarray(xyz), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_padding_never_selected(self, rng):
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked
+
+        # n = 1030 pads to 2048; padded slots must never be selected
+        xyz = rng.randn(1, 1030, 3).astype(np.float32)
+        got = np.asarray(
+            fps_pallas_chunked(256, jnp.asarray(xyz), interpret=True)
+        )
+        assert got.max() < 1030
+        assert got[0, 0] == 0
+        assert len(set(got[0].tolist())) == 256
+
+    def test_npoint_over_row_boundary(self, rng):
+        """npoint > 128 exercises the dynamic-sublane output row writes."""
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        xyz = rng.randn(1, 400, 3).astype(np.float32)
+        want = np.asarray(_fps_xla(300, jnp.asarray(xyz)))
+        got = np.asarray(
+            fps_pallas_chunked(300, jnp.asarray(xyz), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+
 class TestFPSBucketedPallas:
     @pytest.mark.parametrize("K,nb,mb", [(8, 128, 16), (16, 256, 32)])
     def test_matches_per_bucket_xla_fps(self, rng, K, nb, mb):
