@@ -22,6 +22,25 @@ class GANTrainer(BaseTrainer):
         "d_gap", "d_var", "d_clip_frac",
     )
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.cfg.train.d_clip > 0:
+            # The reference's ±0.01 weight clip drives every critic weight
+            # to the boundary and the adversarial term to a constant-output
+            # fixed point (root-caused in PERFORMANCE.md "LSGAN critic
+            # collapse"; ref:DisPU/model_gan.py:146-151 has the same clip).
+            # Keep the faithful default, but never let a fresh run hit the
+            # known-dead config silently.
+            msg = (
+                "WARNING: d_clip=%g reproduces the reference's collapsed "
+                "critic (d_clip_frac -> 1.0, constant D output; see "
+                "PERFORMANCE.md 'LSGAN critic collapse'). Pass --d_clip 0 "
+                "for a live adversarial term; watch d_gap/d_clip_frac in "
+                "the log either way." % self.cfg.train.d_clip
+            )
+            print(msg, flush=True)
+            self.logger.text(msg)
+
     def _fake_pool(self):
         """Lazily build the shared PointPool history buffer (off by
         default; ref:Common/visu_utils.py:309-334)."""

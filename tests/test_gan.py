@@ -295,6 +295,34 @@ class TestGANTrainer:
             log_dir=str(log_dir),
         )
 
+    def test_default_clip_warns_known_dead_critic(self, tmp_path):
+        """The faithful default (±0.01 clip) reproduces the reference's
+        collapsed critic; a fresh run must be told, not left to discover
+        it from frozen losses (VERDICT r3 weak-item 5)."""
+        import dataclasses
+        import os
+
+        from dispu_tpu.data.dataset import PatchDataset
+        from dispu_tpu.train.gan_trainer import GANTrainer
+
+        ds = PatchDataset(h5_path="/nonexistent", synthetic_patches_count=8,
+                          num_point=32)
+
+        cfg = self._cfg(tmp_path / "clip")
+        GANTrainer(cfg, dataset=ds, use_mesh=False)
+        text = open(os.path.join(cfg.log_dir, "log_train.txt")).read()
+        assert "collapsed critic" in text and "--d_clip 0" in text
+
+        cfg0 = dataclasses.replace(
+            self._cfg(tmp_path / "noclip"),
+            train=dataclasses.replace(cfg.train, d_clip=0.0),
+            log_dir=str(tmp_path / "noclip"),
+        )
+        GANTrainer(cfg0, dataset=ds, use_mesh=False)
+        path0 = os.path.join(cfg0.log_dir, "log_train.txt")
+        assert not os.path.exists(path0) or "collapsed critic" not in open(
+            path0).read()
+
     def test_interrupt_resume_roundtrip(self, tmp_path):
         """Crash mid-training → crash checkpoint written → a fresh
         GANTrainer resumes from it (the aux behaviors the reference only
