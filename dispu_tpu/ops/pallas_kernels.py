@@ -248,12 +248,17 @@ def fps_pallas_lite(npoint: int, xyz: jnp.ndarray, interpret: bool = False):
     return jax.lax.stop_gradient(out.reshape(b, m_pad)[:, :npoint])
 
 
-def _make_fps_chunked_kernel(npoint: int):
+def _make_fps_chunked_kernel(npoint: int, width: int):
     def kernel(actual_n_ref, pts_ref, out_ref, mindist_ref):
-        """One grid step = one cloud, n axis chunked into (8, 128) tiles.
+        """One grid step = one cloud, n axis chunked into (8, width) tiles.
 
-        pts (1, 3, nc, 8, 128) VMEM; out (1, m_pad//128, 128);
-        mindist scratch (nc, 8, 128).  Each round runs ONE fused sweep
+        pts (1, 3, nc, 8, width) VMEM; out (1, m_pad//128, 128);
+        mindist scratch (nc, 8, width).  ``width`` trades loop
+        iterations per round (nc = n_pad / (8·width), each serialized
+        by the running-argmax carry) against temporary size — large
+        widths approach the wide kernel's full-array pipelining while
+        keeping the scoped stack width-bounded instead of n-bounded.
+        Each round runs ONE fused sweep
         over the chunks: the distance update, the min-distance store,
         and a running argmax (value, flat index, AND the winning point's
         coordinates) all ride the same chunk loads, so per-round VMEM
@@ -275,19 +280,20 @@ def _make_fps_chunked_kernel(npoint: int):
         final ``maxval >= 0`` candidate mask excludes.
         """
         nc = pts_ref.shape[2]
-        n = nc * 1024
+        cw = 8 * width  # points per chunk
+        n = nc * cw
         actual_n = actual_n_ref[0]
         m_rows = out_ref.shape[1]
 
         row_l = (
-            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
-            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            jax.lax.broadcasted_iota(jnp.int32, (8, width), 0) * width
+            + jax.lax.broadcasted_iota(jnp.int32, (8, width), 1)
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
         def init_chunk(c, _):
             mindist_ref[c] = jnp.where(
-                c * 1024 + row_l < actual_n, 1e38, -1.0
+                c * cw + row_l < actual_n, 1e38, -1.0
             )
             return 0
 
@@ -315,17 +321,17 @@ def _make_fps_chunked_kernel(npoint: int):
                 upd = nmd > maxvec
                 return (
                     jnp.where(upd, nmd, maxvec),
-                    jnp.where(upd, c * 1024 + row_l, flatvec),
+                    jnp.where(upd, c * cw + row_l, flatvec),
                     jnp.where(upd, xc, xv),
                     jnp.where(upd, yc, yv),
                     jnp.where(upd, zc, zv),
                 )
 
-            zero = jnp.zeros((8, 128), jnp.float32)
+            zero = jnp.zeros((8, width), jnp.float32)
             maxvec, flatvec, xv, yv, zv = jax.lax.fori_loop(
                 0, nc, chunk,
-                (jnp.full((8, 128), -2.0, jnp.float32),
-                 jnp.zeros((8, 128), jnp.int32), zero, zero, zero),
+                (jnp.full((8, width), -2.0, jnp.float32),
+                 jnp.zeros((8, width), jnp.int32), zero, zero, zero),
             )
             maxval = jnp.max(maxvec)
             cand = maxvec == maxval
@@ -351,9 +357,10 @@ def _make_fps_chunked_kernel(npoint: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def fps_pallas_chunked(
-    npoint: int, xyz: jnp.ndarray, interpret: bool = False
+    npoint: int, xyz: jnp.ndarray, interpret: bool = False,
+    width: int = 128,
 ):
     """Chunked-sweep farthest-point sampling (see _make_fps_chunked_kernel).
 
@@ -361,26 +368,30 @@ def fps_pallas_chunked(
     0, bit-identical selection to the XLA loop — with ~half the per-round
     VMEM traffic and an envelope that covers whole-cloud 16x merge scales
     (n ~ 479k) where the wide kernel's scoped stack exceeds the 16 MiB
-    limit.
+    limit.  ``width`` is the chunk lane count (multiple of 128): bigger
+    widths mean fewer serialized loop iterations per round at the cost
+    of (8, width)-sized temporaries and coarser n padding.
     """
+    assert width % 128 == 0 and width > 0
     b, n, _ = xyz.shape
-    n_pad = _round_up(max(n, 1024), 1024)
-    nc = n_pad // 1024
+    cw = 8 * width
+    n_pad = _round_up(max(n, cw), cw)
+    nc = n_pad // cw
     m_pad = _round_up(max(npoint, 128), 128)
     xyz = jax.lax.stop_gradient(xyz)
     pts = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (b, 3, n)
     if n_pad != n:
         pts = jnp.pad(pts, ((0, 0), (0, 0), (0, n_pad - n)))
-    # natural row-major reshape: point i -> (i // 1024, (i % 1024) // 128,
-    # i % 128) — flat order preserved, so selection parity holds
-    pts = pts.reshape(b, 3, nc, 8, 128)
+    # natural row-major reshape: point i -> (i // cw, (i % cw) // width,
+    # i % width) — flat order preserved, so selection parity holds
+    pts = pts.reshape(b, 3, nc, 8, width)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, nc, 8, 128), lambda i, *_: (i, 0, 0, 0, 0),
+                (1, 3, nc, 8, width), lambda i, *_: (i, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -388,11 +399,11 @@ def fps_pallas_chunked(
             (1, m_pad // 128, 128), lambda i, *_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((nc, 8, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((nc, 8, width), jnp.float32)],
     )
 
     out = pl.pallas_call(
-        _make_fps_chunked_kernel(npoint),
+        _make_fps_chunked_kernel(npoint, width),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, m_pad // 128, 128), jnp.int32),
         interpret=interpret,

@@ -128,6 +128,22 @@ class TestFPSChunkedPallas:
         )
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("width", [256, 512])
+    def test_wider_chunks_match_xla(self, rng, width):
+        """width > 128 (fewer serialized loop iterations per round) must
+        keep selection bit-identical — flats follow the same natural
+        point order under the coarser (nc, 8, width) reshape."""
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        # 3000 pads to 4096 at width 256 and to 4096 at width 512 —
+        # multiple chunks at 256, a single chunk at 512
+        xyz = rng.randn(2, 3000, 3).astype(np.float32)
+        want = np.asarray(_fps_xla(200, jnp.asarray(xyz)))
+        got = np.asarray(fps_pallas_chunked(
+            200, jnp.asarray(xyz), interpret=True, width=width))
+        np.testing.assert_array_equal(got, want)
+
 
 class TestFPSBucketedPallas:
     @pytest.mark.parametrize("K,nb,mb", [(8, 128, 16), (16, 256, 32)])
