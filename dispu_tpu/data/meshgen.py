@@ -39,14 +39,28 @@ Mesh = Tuple[np.ndarray, np.ndarray]  # (verts (v,3) f32, faces (f,3) i32)
 # Parametric mesh builders
 # --------------------------------------------------------------------------
 
+def _compact_mesh(verts: np.ndarray, faces: np.ndarray) -> Mesh:
+    """Drop unreferenced vertices and remap ``faces`` accordingly."""
+    used = np.unique(faces)
+    remap = np.full(len(verts), -1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    return verts[used], remap[faces]
+
+
 def grid_mesh(
-    grid: np.ndarray, wrap_u: bool = False, wrap_v: bool = False
+    grid: np.ndarray,
+    wrap_u: bool = False,
+    wrap_v: bool = False,
+    compact: bool = True,
 ) -> Mesh:
     """Triangulate a (nu, nv, 3) parametric vertex grid.
 
     ``wrap_u``/``wrap_v`` close the surface along that axis (e.g. a torus
     wraps both).  Zero-area triangles (degenerate pole rows, pinched seams)
-    are dropped, and unreferenced vertices compacted away.
+    are dropped, and unreferenced vertices compacted away.  Pass
+    ``compact=False`` to keep the full vertex grid (grid index i*nv+j
+    stays valid) when the caller still needs to append faces — e.g.
+    :func:`revolution_surface`'s caps — and compact afterwards.
     """
     nu, nv, _ = grid.shape
     verts = grid.reshape(-1, 3).astype(np.float32)
@@ -64,10 +78,9 @@ def grid_mesh(
     ).astype(np.int32)
     areas = mesh_face_areas(verts, faces)
     faces = faces[areas > 1e-12]
-    used = np.unique(faces)
-    remap = np.full(len(verts), -1, np.int32)
-    remap[used] = np.arange(len(used), dtype=np.int32)
-    return verts[used], remap[faces]
+    if not compact:
+        return verts, faces
+    return _compact_mesh(verts, faces)
 
 
 def _signed_pow(x: np.ndarray, e: float) -> np.ndarray:
@@ -133,7 +146,12 @@ def revolution_surface(
     x = profile_r[:, None] * np.cos(v)[None, :]
     y = profile_r[:, None] * np.sin(v)[None, :]
     z = np.broadcast_to(profile_z[:, None], x.shape)
-    verts, faces = grid_mesh(np.stack([x, y, z], -1), wrap_v=True)
+    # Defer compaction: the cap rings below index the raw vertex grid
+    # (row i vertex j = i*nv + j), which grid_mesh's compaction would
+    # invalidate whenever a degenerate profile row drops faces.
+    verts, faces = grid_mesh(
+        np.stack([x, y, z], -1), wrap_v=True, compact=not close_caps
+    )
     if close_caps:
         verts = np.concatenate(
             [verts,
@@ -151,6 +169,7 @@ def revolution_surface(
         faces = np.concatenate([faces, cap0, cap1]).astype(np.int32)
         areas = mesh_face_areas(verts, faces)
         faces = faces[areas > 1e-12]
+        verts, faces = _compact_mesh(verts, faces)
     return verts, faces
 
 

@@ -61,7 +61,12 @@ def paired_neighborhoods_with_pred_indices(
     use_fused = (
         cfg.fused_grouping and cfg.knn
         and jax.default_backend() not in ("cpu", "gpu")
-        and gt.shape[1] <= 4096
+        # <= 2048 keeps the dispatch inside knn_group_pallas's unrolled
+        # form, whose outputs are bit-identical to the composed path.
+        # Above 2048 the auto dispatch would take the loop form, whose
+        # VMEM-lean distance layout deviates ~1 ulp (tie-order idx may
+        # differ) — not acceptable for a silently-applied critic path.
+        and gt.shape[1] <= 2048
     )
 
     def neighborhood(cloud, nsample, radius):

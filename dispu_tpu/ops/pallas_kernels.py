@@ -152,9 +152,11 @@ def _make_fps_lite_kernel(npoint: int, rows: int):
           coordinate plane.
 
         Selection math and order are unchanged, so results stay
-        bit-identical to ``_make_fps_kernel`` and ``_fps_xla`` (guarded
-        on chip by bench.parity_guard and in-session by
-        scripts/profile_r4g.py).
+        bit-identical to ``_make_fps_kernel`` and ``_fps_xla`` —
+        pinned by interpret-mode tests and verified on chip in the
+        one-off scripts/profile_r4g.py session.  NOTE: unlike the wide
+        and chunked kernels, this non-default variant has NO ongoing
+        bench.parity_guard leg; re-verify on chip before promoting it.
         """
         nr = pts_ref.shape[-1]
         n = rows * nr
@@ -1528,8 +1530,15 @@ def _make_knn_group_loop_kernel(k: int, exact: bool, with_xyz: bool,
             x9t = rest[0][0]  # (n_pad, 16) bf16, lanes 0:9 = t1|t2|t3
             plane_x = jax.lax.broadcasted_iota(jnp.int32, (k, tm, 16), 0)
         dn = (((1,), (0,)), ((), ()))  # (tm, n) @ (n, c): contract n
-        rounds = k + 1 if drop_first else k
-        shift = 1 if drop_first else 0
+        if drop_first:
+            # Peel the self round out of the loop: selection + knockout
+            # only — running it inside the loop would pay the full
+            # gather matmuls for a slot that matches no plane (their
+            # results discarded), one wasted MXU pass per term.
+            mv2 = jnp.min(d, axis=1, keepdims=True)
+            hit = jnp.where(d == mv2, lane, n_pad)
+            sel2 = jnp.min(hit, axis=1, keepdims=True)
+            d = jnp.where(lane == sel2, _KNN_SENTINEL, d)
 
         def body(j, carry):
             if with_xyz:
@@ -1541,10 +1550,7 @@ def _make_knn_group_loop_kernel(k: int, exact: bool, with_xyz: bool,
             sel2 = jnp.min(hit, axis=1, keepdims=True)
             hot = lane == sel2
             dc = jnp.where(hot, _KNN_SENTINEL, dc)
-            # slot < 0 (dropped self column) matches no lane_k entry
-            # and no plane index — the round selects, knocks out, and
-            # accumulates nothing
-            slot = j - shift
+            slot = j
             idx_a = jnp.where(lane_k == slot, sel2, idx_a)
             dist_a = jnp.where(lane_k == slot, mv2, dist_a)
             onehot = hot.astype(jnp.bfloat16)
@@ -1567,7 +1573,7 @@ def _make_knn_group_loop_kernel(k: int, exact: bool, with_xyz: bool,
                 jnp.zeros((k, tm, cf), jnp.float32))
         if with_xyz:
             init = init + (jnp.zeros((k, tm, 16), jnp.float32),)
-        fin = jax.lax.fori_loop(0, rounds, body, init)
+        fin = jax.lax.fori_loop(0, k, body, init)
         idx_ref[0] = fin[1]
         dist_ref[0] = fin[2]
         feat_ref[0] = fin[3]
@@ -1604,7 +1610,11 @@ def _bf16_terms(x: jnp.ndarray):
     def rne16(v):  # f32 -> f32 with the low 16 bits rounded away (RNE)
         vb = jax.lax.bitcast_convert_type(v, jnp.uint32)
         bias = jnp.uint32(0x7FFF) + ((vb >> jnp.uint32(16)) & jnp.uint32(1))
-        return jax.lax.bitcast_convert_type((vb + bias) & mask, jnp.float32)
+        r = jax.lax.bitcast_convert_type((vb + bias) & mask, jnp.float32)
+        # The biased add would carry a NaN whose payload sits only in the
+        # low 16 mantissa bits (e.g. 0x7F800001) into the exponent,
+        # yielding +inf; converts keep NaN NaN, so pass NaNs through.
+        return jnp.where(jnp.isnan(v), v, r)
 
     t1f = rne16(x)
     r1 = x - t1f  # exact: ≤16 significant bits remain

@@ -59,9 +59,17 @@ class GANTrainer(BaseTrainer):
 
     def _make_step(self):
         pool = self._fake_pool()
+        if pool is not None and self.mesh is not None:
+            # Passing mesh=None here would dodge make_gan_train_step's
+            # guard while BaseTrainer keeps sharding batches over
+            # self.mesh — the io_callback would then run inside a
+            # multi-device computation.  Reject loudly instead.
+            raise ValueError(
+                "fake_pool is a host io_callback path — single-device "
+                "only; run on one device or set --fake_pool_size 0"
+            )
         return make_gan_train_step(
-            self.cfg, mesh=None if pool is not None else self.mesh,
-            fake_pool=pool,
+            self.cfg, mesh=self.mesh, fake_pool=pool,
         )
 
     def _make_raw_step(self):

@@ -271,8 +271,12 @@ void dispu_knn(const float* points, int n, int dim, const float* queries,
       if (out_d2) out_d2[(size_t)qi * k + i] = heap.top().first;
       heap.pop();
     }
-    for (int i = cnt; i < k; ++i)
+    for (int i = cnt; i < k; ++i) {
       out_idx[(size_t)qi * k + i] = cnt ? out_idx[(size_t)qi * k + cnt - 1] : 0;
+      if (out_d2)
+        out_d2[(size_t)qi * k + i] =
+            cnt ? out_d2[(size_t)qi * k + cnt - 1] : 0.f;
+    }
   }
 }
 

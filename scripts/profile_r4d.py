@@ -62,6 +62,10 @@ def main():
               f"({batch * iters / dt:.1f} patches/sec)", flush=True)
 
     try:
+        # 26e8c8 flipped the module default to 'gather'; set the A leg
+        # explicitly so a re-run still measures the recorded A/B.
+        grouping_mod._EXACT_BIG_GATHER = "onehot3"
+        jax.clear_caches()
         headline("pass2 exact onehot3", GeneratorConfig(num_points=1024),
                  batch=32)
         grouping_mod._EXACT_BIG_GATHER = "gather"

@@ -323,6 +323,27 @@ class TestGANTrainer:
         assert not os.path.exists(path0) or "collapsed critic" not in open(
             path0).read()
 
+    def test_fake_pool_with_mesh_rejected(self, tmp_path):
+        """fake_pool is a host io_callback path — a multi-device trainer
+        must reject it loudly instead of quietly sharding batches around
+        a single-device step (the old code passed mesh=None to the step
+        factory while BaseTrainer kept sharding over self.mesh)."""
+        import dataclasses
+
+        from dispu_tpu.data.dataset import PatchDataset
+        from dispu_tpu.train.gan_trainer import GANTrainer
+
+        ds = PatchDataset(h5_path="/nonexistent", synthetic_patches_count=8,
+                          num_point=32)
+        cfg = self._cfg(tmp_path / "pool")
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, fake_pool_size=4))
+        assert len(jax.devices()) > 1  # conftest's virtual 8-device mesh
+        with pytest.raises(ValueError, match="single-device"):
+            GANTrainer(cfg, dataset=ds, use_mesh=True)
+        # single-device stays allowed
+        GANTrainer(cfg, dataset=ds, use_mesh=False)
+
     def test_interrupt_resume_roundtrip(self, tmp_path):
         """Crash mid-training → crash checkpoint written → a fresh
         GANTrainer resumes from it (the aux behaviors the reference only

@@ -193,6 +193,20 @@ class TestKnnSingleCloud:
         full = np.sum((q[:, None] - pts[None]) ** 2, -1)
         np.testing.assert_array_equal(idx, np.argsort(full, axis=1)[:, :4])
 
+    def test_k_exceeds_n_pads_idx_and_d2(self, rng):
+        """k > n tail: idx repeats the last found and d2 must be
+        initialized (it repeated the last valid distance on the KD-tree
+        path but was left uninitialized on the generic-dim path)."""
+        for dim in (3, 4):
+            pts = rng.randn(5, dim).astype(np.float32)
+            q = rng.randn(3, dim).astype(np.float32)
+            idx, d2 = native.knn(pts, q, 8, return_dist=True)
+            assert np.isfinite(d2).all()
+            np.testing.assert_array_equal(
+                idx[:, 5:], np.broadcast_to(idx[:, 4:5], (3, 3)))
+            np.testing.assert_array_equal(
+                d2[:, 5:], np.broadcast_to(d2[:, 4:5], (3, 3)))
+
 
 class TestKnnBatchDistancePick:
     """ref:libs/nearest_neighbors/knn.pyx:115-148 entry-point parity."""

@@ -550,6 +550,23 @@ class TestBf16Terms:
         np.testing.assert_array_equal((t1 + t2) + t3, x)
         assert np.abs(t2[x != 0]).max() > 0  # residuals actually carry bits
 
+    def test_nonfinite_pass_through(self):
+        from dispu_tpu.ops.pallas_kernels import _bf16_terms
+
+        # NaNs whose payload sits only in the low 16 mantissa bits would
+        # be carried to +inf by the biased integer add; rne16 must pass
+        # them through (converts keep NaN NaN).
+        x = np.concatenate([
+            np.array([np.inf, -np.inf, 0.0, -0.0], np.float32),
+            np.array([0x7F800001, 0xFF800001, 0x7FC00000],
+                     np.uint32).view(np.float32),
+        ])
+        t1, _, _ = (np.asarray(t) for t in
+                    jax.jit(_bf16_terms)(jnp.asarray(x)))
+        t1f = t1.astype(np.float32)
+        np.testing.assert_array_equal(np.isnan(t1f), np.isnan(x))
+        np.testing.assert_array_equal(t1f[:4], x[:4])
+
 
 class TestGatherRowsPallas:
     def test_bit_identical_to_native_gather(self, rng):
