@@ -48,6 +48,13 @@ def parse_args():
                         "ref:DisPU/dataset.py:132-134)")
     p.add_argument("--jitter_sigma", type=float, default=0.01)
     p.add_argument("--jitter_max", type=float, default=0.03)
+    p.add_argument("--cluster_prob", type=float, default=0.0,
+                   help="per-example probability of drawing the training "
+                        "input as seed clusters (pass-1-output-like local "
+                        "structure) instead of the Gaussian-biased "
+                        "nonuniform draw; trains the chained 16x pass "
+                        "in-distribution.  0 = reference distribution")
+    p.add_argument("--cluster_size", type=int, default=4)
     p.add_argument("--up_ratio", type=int, default=4)
     p.add_argument("--final_ratio", type=int, default=4, help="[4,16]")
     p.add_argument("--patch_num_point", type=int, default=256)
@@ -78,7 +85,12 @@ def parse_args():
                    help="declared by the reference; its GAN loss adds the "
                         "term unweighted (ref:DisPU/model_gan.py:108-112)")
     p.add_argument("--gen_update", type=int, default=2,
-                   help="declared by the reference, unused there and here")
+                   help="G steps per D step — declared by the reference "
+                        "but never consumed there (ref:DisPU/configs.py:41);"
+                        " here it is active in the deviating --d_clip 0 "
+                        "config (the critic trains every gen_update-th "
+                        "step; 1 = D every step).  Ignored, like the "
+                        "reference, when the clip is on")
     p.add_argument("--use_gan", type=str2bool, default=False)
     p.add_argument("--d_clip", type=float, default=0.01,
                    help="critic weight clip (reference: 0.01, which "
@@ -173,6 +185,8 @@ def build_config(args):
             num_point=args.patch_num_point,
             up_ratio=args.up_ratio,
             random_input=args.random,
+            cluster_prob=args.cluster_prob,
+            cluster_size=args.cluster_size,
             augment=args.augment,
             jitter_sigma=args.jitter_sigma,
             jitter_max=args.jitter_max,

@@ -199,6 +199,14 @@ class DataConfig:
     num_point: int = 256
     up_ratio: int = 4
     random_input: bool = True    # nonuniform re-sample input from gt
+    # per-example probability of drawing the training input as seed
+    # clusters (seeds' cluster_size nearest gt points) instead of the
+    # Gaussian-biased nonuniform draw — mimics the grouped local
+    # structure of a pass-1 generator output so the chained 16× pass
+    # sees in-distribution inputs (data/augment.sample_cluster_inputs;
+    # VERDICT r4 weak #2).  0.0 = reference training distribution.
+    cluster_prob: float = 0.0
+    cluster_size: int = 4
     augment: bool = True
     jitter: bool = False
     jitter_sigma: float = 0.01

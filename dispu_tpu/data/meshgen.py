@@ -231,6 +231,167 @@ def harmonic_sphere(
     return grid_mesh(np.stack([x, y, z], -1), wrap_v=True)
 
 
+def convex_polyhedron(
+    m: int = 10, radii_low: float = 0.55, radii_high: float = 1.0,
+    rng: Optional[np.random.RandomState] = None,
+) -> Mesh:
+    """Convex hull of ``m`` random radial points: large FLAT facets joined
+    at sharp dihedral edges — the Icosahedron-like class the round-4
+    per-file CSV flagged as underrepresented (its X4 CD was 2.4× the best
+    row).  Small ``m`` (6-16) keeps the facets large like a platonic solid
+    rather than sphere-like."""
+    from scipy.spatial import ConvexHull
+
+    rng = rng or np.random.RandomState(0)
+    dirs = rng.randn(m, 3)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts = dirs * rng.uniform(radii_low, radii_high, (m, 1))
+    hull = ConvexHull(pts)
+    verts = pts[hull.vertices].astype(np.float32)
+    remap = np.full(m, -1, np.int64)
+    remap[hull.vertices] = np.arange(len(hull.vertices))
+    faces = remap[hull.simplices].astype(np.int32)
+    # orient every facet outward (Qhull simplices are unordered)
+    centroid = verts.mean(axis=0)
+    tri = verts[faces]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    flip = np.einsum("fc,fc->f", n, tri.mean(axis=1) - centroid) < 0
+    faces[flip] = faces[flip][:, ::-1]
+    return verts, faces
+
+
+def _round_corners(
+    poly: np.ndarray,
+    modes: Sequence[str],
+    trim: float = 0.08,
+    arc_pts: int = 9,
+) -> np.ndarray:
+    """Replace interior corners of a 2D polyline with CAD transitions.
+
+    ``modes[i]`` handles corner ``poly[i+1]``: 'sharp' keeps it, 'chamfer'
+    cuts a straight bevel, 'fillet' inserts a tangent-continuous quadratic
+    arc (the Bezier with the corner as control point — a fillet for the
+    rectilinear profiles used here).  ``trim`` is the setback along each
+    edge, clipped to 45% of the shorter adjacent edge so consecutive
+    rounded corners never overlap."""
+    out = [poly[0]]
+    for i, mode in enumerate(modes):
+        prev_pt, corner, next_pt = poly[i], poly[i + 1], poly[i + 2]
+        e1, e2 = corner - prev_pt, next_pt - corner
+        l1, l2 = np.linalg.norm(e1), np.linalg.norm(e2)
+        if mode == "sharp" or min(l1, l2) < 1e-9:
+            out.append(corner)
+            continue
+        t = min(trim, 0.45 * l1, 0.45 * l2)
+        a = corner - e1 / l1 * t
+        b = corner + e2 / l2 * t
+        if mode == "chamfer":
+            out.extend([a, b])
+        else:  # fillet
+            s = np.linspace(0.0, 1.0, arc_pts)[:, None]
+            out.extend((1 - s) ** 2 * a + 2 * s * (1 - s) * corner + s**2 * b)
+    out.append(poly[-1])
+    return np.asarray(out, np.float64)
+
+
+def cad_revolution(
+    rng: Optional[np.random.RandomState] = None,
+    n_steps: int = 4,
+    nv: int = 128,
+) -> Mesh:
+    """Solid of revolution with CAD-style transitions: a rectilinear
+    stepped (r, z) profile whose shoulders are a random mix of sharp
+    corners, 45° chamfers, and fillets — the fandisk feature class
+    (fillets + chamfers) the round-4 corpus lacked."""
+    rng = rng or np.random.RandomState(0)
+    r = rng.uniform(0.35, 0.7)
+    pts = [(1e-4, 0.0), (r, 0.0)]
+    z = 0.0
+    for _ in range(n_steps):
+        h = rng.uniform(0.25, 0.5)
+        z += h
+        pts.append((r, z))
+        # step direction chosen away from the clip bounds so the radius
+        # always moves (a saturated clip would create a zero-length edge)
+        sign = 1.0 if r < 0.33 else (-1.0 if r > 0.82 else rng.choice([-1.0, 1.0]))
+        r = float(np.clip(r + sign * rng.uniform(0.12, 0.3), 0.2, 0.95))
+        pts.append((r, z))
+    z += rng.uniform(0.2, 0.4)
+    pts.extend([(r, z), (1e-4, z)])
+    poly = np.asarray(pts, np.float64)
+    modes = [rng.choice(["sharp", "chamfer", "fillet"])
+             for _ in range(len(poly) - 2)]
+    rounded = _round_corners(poly, modes, trim=rng.uniform(0.05, 0.1))
+    # subdivide long straight runs so revolve faces stay well-shaped
+    fine = [rounded[0]]
+    for k in range(len(rounded) - 1):
+        seg = rounded[k + 1] - rounded[k]
+        n_sub = max(1, int(np.ceil(np.linalg.norm(seg) / 0.05)))
+        for s in range(1, n_sub + 1):
+            fine.append(rounded[k] + seg * (s / n_sub))
+    prof = np.asarray(fine)
+    return revolution_surface(
+        np.maximum(prof[:, 0], 1e-4), prof[:, 1], nv=nv, close_caps=False
+    )
+
+
+def thin_plate(
+    rng: Optional[np.random.RandomState] = None, n: int = 48
+) -> Mesh:
+    """Thin rectangular plate (sharp thin edges + two large flat faces) —
+    the thin-feature class.  Thickness 2-6% of the span; a mild z-twist
+    keeps the two big faces from being exactly parallel planes."""
+    rng = rng or np.random.RandomState(0)
+    scale = np.array(
+        [1.0, rng.uniform(0.45, 1.0), rng.uniform(0.02, 0.06)], np.float32
+    )
+    verts, faces = deformed_box(n=n, twist=0.0, taper=0.0)
+    verts = verts * scale
+    ang = rng.uniform(0.0, 0.5) * verts[:, 0]  # twist about the long axis
+    ca, sa = np.cos(ang), np.sin(ang)
+    y, z = verts[:, 1], verts[:, 2]
+    out = np.stack([verts[:, 0], y * ca - z * sa, y * sa + z * ca], -1)
+    out = out.astype(np.float32)
+    areas = mesh_face_areas(out, faces)
+    return out, faces[areas > 1e-12]
+
+
+def thin_shell(
+    rng: Optional[np.random.RandomState] = None, nv: int = 128
+) -> Mesh:
+    """Thin-walled open cup/tube by revolution: outer wall up, over the
+    rim, inner wall down — wall thickness 4-9% of the radius, with the
+    rim corners filleted.  Opposite-side surfaces sit closer than a patch
+    radius, the property that makes thin scanned parts hard."""
+    rng = rng or np.random.RandomState(0)
+    r_out = rng.uniform(0.55, 0.85)
+    h = rng.uniform(0.8, 1.4)
+    w = rng.uniform(0.04, 0.09)
+    taper = rng.uniform(0.0, 0.2)  # optional conical outer wall
+    r_bot = r_out + 0.15 * taper
+    r_in, r_in_bot = r_out - w, r_bot - w
+    pts = [
+        (1e-4, 0.0), (r_bot, 0.0),          # flat outer bottom
+        (r_out, h), (r_in, h),              # up the outer wall, over the rim
+        (r_in_bot, w), (1e-4, w),           # down the inner wall, inner floor
+    ]
+    poly = np.asarray(pts, np.float64)
+    modes = ["sharp"] * (len(poly) - 2)
+    # fillet the two rim corners (indices of (r_out, h) and (r_in, h))
+    modes[1] = modes[2] = "fillet"
+    rounded = _round_corners(poly, modes, trim=min(0.45 * w, 0.05))
+    fine = [rounded[0]]
+    for k in range(len(rounded) - 1):
+        seg = rounded[k + 1] - rounded[k]
+        n_sub = max(1, int(np.ceil(np.linalg.norm(seg) / 0.04)))
+        for s in range(1, n_sub + 1):
+            fine.append(rounded[k] + seg * (s / n_sub))
+    prof = np.asarray(fine)
+    return revolution_surface(
+        np.maximum(prof[:, 0], 1e-4), prof[:, 1], nv=nv, close_caps=False
+    )
+
+
 def normalize_mesh(verts: np.ndarray) -> np.ndarray:
     """Center + scale to the unit sphere (the per-cloud convention of
     ref:Common/pc_util.py:147 applied at mesh level)."""
@@ -239,63 +400,109 @@ def normalize_mesh(verts: np.ndarray) -> np.ndarray:
     return (v / np.linalg.norm(v, axis=-1).max()).astype(np.float32)
 
 
-def make_corpus(n_shapes: int, seed: int = 0) -> List[Tuple[str, Mesh]]:
-    """Deterministic procedural corpus cycling the five shape families."""
+# v2 family cycle (13 slots): the five v1 families plus the round-4
+# CSV's weak classes at ~62% of draws — flat-faceted polyhedra ('poly'),
+# CAD fillet/chamfer revolutions ('fillet'), thin plates ('plate'), and
+# thin-walled shells ('shell').
+_V2_CYCLE = (
+    "superell", "poly", "knot", "fillet", "revolve", "plate", "box",
+    "shell", "blob", "poly", "fillet", "plate", "shell",
+)
+
+
+def make_corpus(
+    n_shapes: int, seed: int = 0, families: str = "v1"
+) -> List[Tuple[str, Mesh]]:
+    """Deterministic procedural corpus cycling the shape families.
+
+    ``families='v1'`` is the round-4 five-family cycle (bit-identical
+    output — the held-out set builder depends on it); ``'v2'`` adds the
+    four new classes via :data:`_V2_CYCLE`."""
+    if families not in ("v1", "v2"):
+        raise ValueError(f"unknown corpus family set {families!r}")
     rng = np.random.RandomState(seed)
     out: List[Tuple[str, Mesh]] = []
     for i in range(n_shapes):
+        if families == "v2":
+            kind = _V2_CYCLE[i % len(_V2_CYCLE)]
+            if kind == "poly":
+                mesh = convex_polyhedron(m=rng.randint(6, 17), rng=rng)
+                name = f"poly_{i:03d}"
+            elif kind == "fillet":
+                mesh = cad_revolution(rng=rng, n_steps=rng.randint(3, 6))
+                name = f"fillet_{i:03d}"
+            elif kind == "plate":
+                mesh = thin_plate(rng=rng)
+                name = f"plate_{i:03d}"
+            elif kind == "shell":
+                mesh = thin_shell(rng=rng)
+                name = f"shell_{i:03d}"
+            else:
+                fam = ("superell", "knot", "revolve", "box", "blob").index(kind)
+                mesh, name = _v1_shape(fam, i, rng)
+            verts, faces = mesh
+            out.append((name, (normalize_mesh(verts), faces)))
+            continue
         fam = i % 5
-        if fam == 0:
-            e1 = rng.uniform(0.2, 1.6)
-            e2 = rng.uniform(0.2, 1.6)
-            radii = rng.uniform(0.5, 1.0, 3)
-            mesh = superellipsoid(e1, e2, radii)
-            name = f"superell_{i:02d}"
-        elif fam == 1:
-            p, q = [(2, 3), (3, 2), (2, 5), (3, 4)][i % 4]
-            mesh = torus_knot_tube(p, q, tube_radius=rng.uniform(0.12, 0.26))
-            name = f"knot{p}{q}_{i:02d}"
-        elif fam == 2:
-            n_seg = rng.randint(4, 7)
-            # piecewise profile with sharp shoulders: alternate slanted
-            # segments and abrupt radius steps
-            zs, rs = [0.0], [rng.uniform(0.3, 0.6)]
-            for _ in range(n_seg):
-                zs.append(zs[-1] + rng.uniform(0.15, 0.4))
-                rs.append(np.clip(rs[-1] + rng.uniform(-0.25, 0.25), 0.15, 1.0))
-                if rng.rand() < 0.5:  # sharp shoulder (crease)
-                    zs.append(zs[-1] + 1e-3)
-                    rs.append(np.clip(rs[-1] + rng.choice([-1, 1])
-                                      * rng.uniform(0.1, 0.3), 0.15, 1.0))
-            pr = np.array([1e-4] + rs + [1e-4])
-            pz = np.array([zs[0]] + zs + [zs[-1]])
-            # refine: subdivide each segment so faces stay well-shaped
-            fine_r, fine_z = [], []
-            for k in range(len(pr) - 1):
-                t = np.linspace(0, 1, 8, endpoint=False)
-                fine_r.extend(pr[k] + t * (pr[k + 1] - pr[k]))
-                fine_z.extend(pz[k] + t * (pz[k + 1] - pz[k]))
-            fine_r.append(pr[-1])
-            fine_z.append(pz[-1])
-            mesh = revolution_surface(
-                np.asarray(fine_r), np.asarray(fine_z), close_caps=False
-            )
-            name = f"revolve_{i:02d}"
-        elif fam == 3:
-            mesh = deformed_box(
-                twist=rng.uniform(0.3, 1.2), taper=rng.uniform(0.0, 0.8)
-            )
-            name = f"box_{i:02d}"
-        else:
-            coeffs = [
-                (rng.randint(1, 4), rng.randint(0, 5), rng.uniform(0.05, 0.22))
-                for _ in range(3)
-            ]
-            mesh = harmonic_sphere(coeffs)
-            name = f"blob_{i:02d}"
+        mesh, name = _v1_shape(fam, i, rng)
         verts, faces = mesh
         out.append((name, (normalize_mesh(verts), faces)))
     return out
+
+
+def _v1_shape(
+    fam: int, i: int, rng: np.random.RandomState
+) -> Tuple[Mesh, str]:
+    """One draw from the round-4 five-family cycle (rng order preserved)."""
+    if fam == 0:
+        e1 = rng.uniform(0.2, 1.6)
+        e2 = rng.uniform(0.2, 1.6)
+        radii = rng.uniform(0.5, 1.0, 3)
+        mesh = superellipsoid(e1, e2, radii)
+        name = f"superell_{i:02d}"
+    elif fam == 1:
+        p, q = [(2, 3), (3, 2), (2, 5), (3, 4)][i % 4]
+        mesh = torus_knot_tube(p, q, tube_radius=rng.uniform(0.12, 0.26))
+        name = f"knot{p}{q}_{i:02d}"
+    elif fam == 2:
+        n_seg = rng.randint(4, 7)
+        # piecewise profile with sharp shoulders: alternate slanted
+        # segments and abrupt radius steps
+        zs, rs = [0.0], [rng.uniform(0.3, 0.6)]
+        for _ in range(n_seg):
+            zs.append(zs[-1] + rng.uniform(0.15, 0.4))
+            rs.append(np.clip(rs[-1] + rng.uniform(-0.25, 0.25), 0.15, 1.0))
+            if rng.rand() < 0.5:  # sharp shoulder (crease)
+                zs.append(zs[-1] + 1e-3)
+                rs.append(np.clip(rs[-1] + rng.choice([-1, 1])
+                                  * rng.uniform(0.1, 0.3), 0.15, 1.0))
+        pr = np.array([1e-4] + rs + [1e-4])
+        pz = np.array([zs[0]] + zs + [zs[-1]])
+        # refine: subdivide each segment so faces stay well-shaped
+        fine_r, fine_z = [], []
+        for k in range(len(pr) - 1):
+            t = np.linspace(0, 1, 8, endpoint=False)
+            fine_r.extend(pr[k] + t * (pr[k + 1] - pr[k]))
+            fine_z.extend(pz[k] + t * (pz[k + 1] - pz[k]))
+        fine_r.append(pr[-1])
+        fine_z.append(pz[-1])
+        mesh = revolution_surface(
+            np.asarray(fine_r), np.asarray(fine_z), close_caps=False
+        )
+        name = f"revolve_{i:02d}"
+    elif fam == 3:
+        mesh = deformed_box(
+            twist=rng.uniform(0.3, 1.2), taper=rng.uniform(0.0, 0.8)
+        )
+        name = f"box_{i:02d}"
+    else:
+        coeffs = [
+            (rng.randint(1, 4), rng.randint(0, 5), rng.uniform(0.05, 0.22))
+            for _ in range(3)
+        ]
+        mesh = harmonic_sphere(coeffs)
+        name = f"blob_{i:02d}"
+    return mesh, name
 
 
 # --------------------------------------------------------------------------

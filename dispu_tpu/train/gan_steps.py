@@ -15,7 +15,12 @@ Parity: ref:DisPU/model_gan.py —
     ``name.startswith('discriminator')`` also catches the Adam slot
     variables — clipping optimizer moments is an evident accident, so here
     only the parameters are clipped;
-  * per batch: D step, then G step (ref:model_gan.py:299-309).
+  * per batch: D step, then G step (ref:model_gan.py:299-309).  In the
+    deviating ``d_clip=0`` config, ``gen_update`` (declared by the
+    reference, never consumed there — ref:DisPU/configs.py:41) becomes
+    active: the critic trains once per ``gen_update`` generator steps,
+    balancing the game the round-4 run saturated (d_gap 0.9997 with
+    g_gan pinned at 1.0 from epoch ~50).
 
 The whole D-then-G sequence is one jitted function with no host
 round-trips between the updates; the generator runs its forward exactly
@@ -50,7 +55,7 @@ import jax.numpy as jnp
 
 from dispu_tpu import losses as L
 from dispu_tpu.config import ExperimentConfig
-from dispu_tpu.data.augment import augment_batch, sample_nonuniform_inputs
+from dispu_tpu.data.augment import augment_batch, sample_training_inputs
 from dispu_tpu.models.discriminator import (
     PatchDiscriminator,
     paired_neighborhoods_with_pred_indices,
@@ -229,35 +234,71 @@ def make_gan_train_step(
             aux = (jnp.mean(real), jnp.mean(fake), jnp.var(values))
             return L.discriminator_loss(real, fake), aux
 
-        (d_loss, (d_real_mean, d_fake_mean, d_var)), d_grads = (
-            jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
-        )
-        d_updates, d_opt_state = tx.update(
-            d_grads, state.d_opt_state, state.d_params
-        )
-        if clip > 0:
-            d_params = jax.tree_util.tree_map(
-                lambda p, u: jnp.clip(p - lr_d * u, -clip, clip),
-                state.d_params,
-                d_updates,
-            )
-            # fraction of critic weights pinned at the clip boundary —
-            # the collapse mechanism: once most weights saturate, D's
-            # output range shrinks to a near-constant
-            at_clip = jax.tree_util.tree_reduce(
-                lambda a, p: a + jnp.sum(jnp.abs(p) >= clip * (1 - 1e-6)),
+        if clip == 0 and cfg.train.gen_update > 1:
+            # Balanced-game extension of the deviating d_clip=0 config:
+            # the critic trains once per ``gen_update`` generator steps.
+            # The reference DECLARES gen_update (ref:DisPU/configs.py:41,
+            # default 2, "G steps per D step") but never consumes it —
+            # its model_gan.py runs D every batch — and its round-4 run
+            # here saturated (d_gap 0.9997 from epoch ~50, g_gan pinned
+            # at 1.0: the critic separates perfectly and stops carrying
+            # an adaptive signal).  Reference-parity configs (clip > 0)
+            # keep D-every-step; lax.cond skips the whole D backward on
+            # hold steps, not just the weight write.
+            def d_train(_):
+                (d_loss, aux), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True
+                )(state.d_params)
+                d_updates, d_opt_state = tx.update(
+                    d_grads, state.d_opt_state, state.d_params
+                )
+                d_params = jax.tree_util.tree_map(
+                    lambda p, u: p - lr_d * u, state.d_params, d_updates
+                )
+                return d_params, d_opt_state, d_loss, aux
+
+            def d_hold(_):
+                d_loss, aux = d_loss_fn(state.d_params)
+                return state.d_params, state.d_opt_state, d_loss, aux
+
+            do_d = (gen.step % cfg.train.gen_update) == 0
+            (
                 d_params,
-                jnp.zeros((), jnp.float32),
-            )
-            n_d = jax.tree_util.tree_reduce(
-                lambda a, p: a + p.size, d_params, 0
-            )
-            d_clip_frac = at_clip / n_d
-        else:  # documented deviation: no Lipschitz clip (see GANTrainer)
-            d_params = jax.tree_util.tree_map(
-                lambda p, u: p - lr_d * u, state.d_params, d_updates
-            )
+                d_opt_state,
+                d_loss,
+                (d_real_mean, d_fake_mean, d_var),
+            ) = jax.lax.cond(do_d, d_train, d_hold, None)
             d_clip_frac = jnp.zeros((), jnp.float32)
+        else:
+            (d_loss, (d_real_mean, d_fake_mean, d_var)), d_grads = (
+                jax.value_and_grad(d_loss_fn, has_aux=True)(state.d_params)
+            )
+            d_updates, d_opt_state = tx.update(
+                d_grads, state.d_opt_state, state.d_params
+            )
+            if clip > 0:
+                d_params = jax.tree_util.tree_map(
+                    lambda p, u: jnp.clip(p - lr_d * u, -clip, clip),
+                    state.d_params,
+                    d_updates,
+                )
+                # fraction of critic weights pinned at the clip boundary —
+                # the collapse mechanism: once most weights saturate, D's
+                # output range shrinks to a near-constant
+                at_clip = jax.tree_util.tree_reduce(
+                    lambda a, p: a + jnp.sum(jnp.abs(p) >= clip * (1 - 1e-6)),
+                    d_params,
+                    jnp.zeros((), jnp.float32),
+                )
+                n_d = jax.tree_util.tree_reduce(
+                    lambda a, p: a + p.size, d_params, 0
+                )
+                d_clip_frac = at_clip / n_d
+            else:  # documented deviation: no Lipschitz clip (see GANTrainer)
+                d_params = jax.tree_util.tree_map(
+                    lambda p, u: p - lr_d * u, state.d_params, d_updates
+                )
+                d_clip_frac = jnp.zeros((), jnp.float32)
 
         # ---------------- G step (critic frozen) --------------------------
         # loss as a function of the generator OUTPUTS; the parameter
@@ -317,7 +358,11 @@ def make_gan_train_step(
 
         def step(state: GANState, gt, radius, key):
             k_sample, k_aug = jax.random.split(key)
-            inputs = sample_nonuniform_inputs(k_sample, gt, n_in)
+            inputs = sample_training_inputs(
+                k_sample, gt, n_in,
+                cluster_prob=cfg.data.cluster_prob,
+                cluster_size=cfg.data.cluster_size,
+            )
             return step_core(state, gt, inputs, radius, k_aug)
 
         shardings = ("repl", "data", "data", "repl")

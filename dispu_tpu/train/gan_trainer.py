@@ -40,6 +40,17 @@ class GANTrainer(BaseTrainer):
             )
             print(msg, flush=True)
             self.logger.text(msg)
+        elif self.cfg.train.gen_update > 1:
+            msg = (
+                "d_clip=0 balanced game: critic trains once per "
+                "gen_update=%d generator steps (the reference declares "
+                "--gen_update but never consumes it, "
+                "ref:DisPU/configs.py:41; pass --gen_update 1 for the "
+                "round-4 D-every-step behavior)."
+                % self.cfg.train.gen_update
+            )
+            print(msg, flush=True)
+            self.logger.text(msg)
 
     def _fake_pool(self):
         """Lazily build the shared PointPool history buffer (off by

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from dispu_tpu import losses as L
 from dispu_tpu.config import ExperimentConfig
-from dispu_tpu.data.augment import augment_batch, sample_nonuniform_inputs
+from dispu_tpu.data.augment import augment_batch, sample_training_inputs
 from dispu_tpu.models.generator import DisPUGenerator
 from dispu_tpu.parallel.mesh import batch_sharding, replicated_sharding
 from dispu_tpu.train.state import GeneratorState, adam_transform
@@ -120,7 +120,11 @@ def make_train_step(
 
         def step(state: GeneratorState, gt, radius, key):
             k_sample, k_aug = jax.random.split(key)
-            inputs = sample_nonuniform_inputs(k_sample, gt, n_in)
+            inputs = sample_training_inputs(
+                k_sample, gt, n_in,
+                cluster_prob=cfg.data.cluster_prob,
+                cluster_size=cfg.data.cluster_size,
+            )
             return step_core(state, gt, inputs, radius, k_aug)
 
         shardings = ("repl", "data", "data", "repl")

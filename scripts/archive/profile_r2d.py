@@ -1,8 +1,7 @@
-"""Round-2 session G: train step after stop-grad kNN selection +
-repulsion-v2 (rank by kernel dists, gather only the 5 winners).
+"""Round-2 session D: verify + time the ball-query kernel and t-major pool.
 
 Run: cd /root/repo && PYTHONPATH=/root/repo:/root/.axon_site \
-        python -u scripts/profile_r2g.py
+        python -u scripts/profile_r2d.py
 """
 
 import time
@@ -11,7 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from scripts.profile_r2 import timed
+from scripts.harness import timed
 
 R = np.random.RandomState(0)
 
@@ -21,51 +20,57 @@ def main():
 
     from dispu_tpu.ops.grouping import query_ball_point
     from dispu_tpu.ops.pallas_kernels import query_ball_pallas
+
+    # ---- on-chip parity: bit-equal idx + cnt across regimes ----
+    pts = jnp.asarray(R.randn(28, 1024, 3) * 0.5, jnp.float32)
+    for radius in (0.07, 0.3, 1.0):
+        i_x, c_x = jax.jit(
+            lambda p: query_ball_point(radius, 20, p, p, impl="xla"))(pts)
+        i_p, c_p = jax.jit(
+            lambda p: query_ball_pallas(radius, 20, p, p))(pts)
+        ok = bool(jnp.array_equal(i_x, i_p) and jnp.array_equal(c_x, c_p))
+        print(f"ball r={radius}: parity {'ok' if ok else 'MISMATCH'}",
+              flush=True)
+
+    timed("query_ball (28,1024) ns=20 xla",
+          lambda p: query_ball_point(0.07, 20, p, p, impl="xla"), (pts,))
+    timed("query_ball (28,1024) ns=20 pallas",
+          lambda p: query_ball_pallas(0.07, 20, p, p), (pts,))
+
     from dispu_tpu import losses as L
 
-    pts = jnp.asarray(R.randn(28, 1024, 3) * 0.5, jnp.float32)
-
-    # with_dists parity on-chip
-    for radius in (0.07, 0.5):
-        i_x, c_x, d_x = jax.jit(lambda p: query_ball_point(
-            radius, 20, p, p, impl="xla", return_dists=True))(pts)
-        i_p, c_p, d_p = jax.jit(lambda p: query_ball_pallas(
-            radius, 20, p, p, with_dists=True))(pts)
-        iok = bool(jnp.array_equal(i_x, i_p) and jnp.array_equal(c_x, c_p))
-        ddev = float(jnp.max(jnp.abs(d_x - d_p)))
-        print(f"ball+dists r={radius}: idx/cnt {'ok' if iok else 'MISMATCH'}"
-              f" dist max|dev|={ddev:.3e}", flush=True)
-
-    timed("repulsion v2 fwd (28,1024)",
+    timed("repulsion loss (28,1024) [now pallas ball]",
           lambda x: L.repulsion(x, nsample=20, radius=0.07), (pts,))
-    timed("repulsion v2 fwd+bwd",
+    timed("uniform loss fast (28,1024) [now pallas ball]",
+          lambda x: L.uniform(x), (pts,))
+    timed("repulsion+grad",
           lambda x: jax.grad(
               lambda z: L.repulsion(z, nsample=20, radius=0.07))(x),
           (pts,), iters=15)
 
-    # grad-through-gathered-neighborhood: stop-grad selection effect
-    from dispu_tpu.ops.knn import knn, knn_indices
-    from dispu_tpu.ops.grouping import group_point
+    # ---- e2e with t-major pooling ----
+    from dispu_tpu.config import ExperimentConfig, GeneratorConfig, TrainConfig
+    from dispu_tpu.models.generator import DisPUGenerator
 
-    xyz = jnp.asarray(R.randn(28, 1024, 3), jnp.float32)
+    inp = jnp.asarray(R.randn(64, 256, 3), jnp.float32)
+    model = DisPUGenerator(cfg=GeneratorConfig())
+    vs = jax.jit(lambda: model.init(jax.random.PRNGKey(0), inp,
+                                    train=False))()
+    ms = timed("e2e fwd b=64 [onehot_hp + tmajor pool]",
+               lambda v, x: model.apply(v, x, train=False), (vs, inp),
+               iters=20)
+    print(f"   -> {64 / (ms / 1000):.0f} patches/sec", flush=True)
 
-    def loss_old(p):
-        _, idx = knn(16, p, p)
-        g = group_point(p, idx, impl="onehot_hp")
-        return jnp.sum(jnp.sin(g))
+    model_t = DisPUGenerator(cfg=GeneratorConfig(
+        fast_gather=True, fast_gather_backbone=True))
+    vs_t = jax.jit(lambda: model_t.init(jax.random.PRNGKey(0), inp,
+                                        train=False))()
+    ms = timed("e2e fwd b=64 [turbo + tmajor pool]",
+               lambda v, x: model_t.apply(v, x, train=False), (vs_t, inp),
+               iters=20)
+    print(f"   -> {64 / (ms / 1000):.0f} patches/sec", flush=True)
 
-    def loss_new(p):
-        idx = knn_indices(16, p, p)
-        g = group_point(p, idx, impl="onehot_hp")
-        return jnp.sum(jnp.sin(g))
-
-    timed("knn-select+gather grad [dist cotangent materialized]",
-          lambda p: jax.grad(loss_old)(p), (xyz,), iters=15)
-    timed("knn-select+gather grad [stop-grad selection]",
-          lambda p: jax.grad(loss_new)(p), (xyz,), iters=15)
-
-    # full train + gan steps
-    from dispu_tpu.config import ExperimentConfig, TrainConfig
+    # ---- train + gan steps ----
     from dispu_tpu.train.state import create_generator_state
     from dispu_tpu.train.steps import make_train_step
     from dispu_tpu.train.gan_steps import create_gan_state, make_gan_train_step
@@ -87,8 +92,7 @@ def main():
         return jax.lax.scan(body, state, None, length=20)
 
     s2, tot = loop(state)
-    print("train total finite:", bool(np.isfinite(float(jnp.sum(tot)))),
-          flush=True)
+    float(jnp.sum(tot))
     t0 = time.perf_counter()
     s2, tot = loop(state)
     float(jnp.sum(tot))

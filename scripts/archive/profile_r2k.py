@@ -10,7 +10,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from scripts.profile_r2 import timed
+from scripts.harness import timed
 
 R = np.random.RandomState(0)
 

@@ -115,7 +115,7 @@ def main():
     # ---- K: r3r's lost kernel-level fused legs (r3r OOMed whole on the
     # (32,4096,c128) exact leg — the auto tile now fits a 12 MiB model;
     # these confirm the fix and give fused-vs-composed at both shapes)
-    from scripts.profile_r2 import timed
+    from scripts.harness import timed
 
     for (b, n, k, c) in ((32, 4096, 16, 128), (64, 1024, 16, 128)):
         kpts = jnp.asarray(R.randn(b, n, 3), jnp.float32)

@@ -14,7 +14,7 @@ import sys
 import time
 import traceback
 
-from scripts import (profile_r3o, profile_r3p, profile_r3q, profile_r3r,
+from scripts.archive import (profile_r3o, profile_r3p, profile_r3q, profile_r3r,
                      profile_r3s, profile_r3t)
 
 
@@ -33,6 +33,7 @@ def main():
         traceback.print_exc()
         print("BACKEND UNAVAILABLE", flush=True)
         sys.exit(17)
+    failed = []
     for name, mod in (("r3o", profile_r3o), ("r3p", profile_r3p),
                       ("r3q", profile_r3q), ("r3r", profile_r3r),
                       ("r3s", profile_r3s), ("r3t", profile_r3t)):
@@ -43,9 +44,14 @@ def main():
         except Exception:
             traceback.print_exc()
             print(f"===== {name} FAILED =====", flush=True)
+            failed.append(name)
         else:
             print(f"===== {name} done {time.strftime('%H:%M:%S')} =====",
                   flush=True)
+    if failed:
+        # a partial run must not exit 0 (advisor finding, round 4)
+        print("failed sessions:", ", ".join(failed), flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--out", default="data/PUGAN_poisson_256_poisson_1024.h5")
     ap.add_argument("--shapes", type=int, default=22,
                     help="procedural corpus size")
+    ap.add_argument("--families", default="v2", choices=("v1", "v2"),
+                    help="corpus family cycle: v1 = the round-4 five "
+                         "families, v2 adds flat-faceted polyhedra, CAD "
+                         "fillet/chamfer revolutions, thin plates, and "
+                         "thin-walled shells")
     ap.add_argument("--patches", type=int, default=100, help="per mesh")
     ap.add_argument("--num_point", type=int, default=256)
     ap.add_argument("--up_ratio", type=int, default=4)
@@ -54,7 +59,9 @@ def main() -> None:
                 )
                 print(f"reference mesh: {fname} "
                       f"({len(verts)} verts, {len(faces)} faces)", flush=True)
-    meshes.extend(make_corpus(args.shapes, seed=args.seed))
+    meshes.extend(
+        make_corpus(args.shapes, seed=args.seed, families=args.families)
+    )
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     total, names = build_h5_dataset(

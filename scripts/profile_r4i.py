@@ -24,7 +24,7 @@ Run on the TPU (one process — chip grants are slow):
 import numpy as np
 import jax
 
-from scripts.profile_r2 import timed
+from scripts.harness import timed
 
 R = np.random.RandomState(0)
 

@@ -25,6 +25,7 @@ def main():
         traceback.print_exc()
         print("BACKEND UNAVAILABLE", flush=True)
         sys.exit(17)
+    failed = []
     for name, mod in (("r4a", profile_r4a), ("r4b", profile_r4b)):
         print(f"===== {name} start {time.strftime('%H:%M:%S')} =====",
               flush=True)
@@ -33,9 +34,14 @@ def main():
         except Exception:
             traceback.print_exc()
             print(f"===== {name} FAILED =====", flush=True)
+            failed.append(name)
         else:
             print(f"===== {name} done {time.strftime('%H:%M:%S')} =====",
                   flush=True)
+    if failed:
+        # a partial run must not exit 0 (advisor finding, round 4)
+        print("failed sessions:", ", ".join(failed), flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -176,6 +176,107 @@ class TestAugmentExtras:
         )
 
 
+class TestClusterInputs:
+    """Pass-2-style cluster input sampling (data/augment.py; the VERDICT-r4
+    X16 distribution-shift attack)."""
+
+    def _gt(self, rng, b=3, n=256):
+        import jax.numpy as jnp
+
+        return jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+
+    def test_shape_and_membership(self, rng):
+        import jax
+
+        from dispu_tpu.data.augment import sample_cluster_inputs
+
+        gt = self._gt(rng)
+        out = sample_cluster_inputs(jax.random.PRNGKey(0), gt, 64, 4)
+        assert out.shape == (3, 64, 3)
+        # every output point is a gt point of the same example
+        for b in range(3):
+            d = np.linalg.norm(
+                np.asarray(out[b])[:, None] - np.asarray(gt[b])[None], axis=-1
+            )
+            assert d.min(axis=1).max() < 1e-6
+
+    def test_cluster_structure(self, rng):
+        """Each consecutive group of cluster_size points is a tight local
+        clique: the in-cluster spread is far below the random-pair scale."""
+        import jax
+
+        from dispu_tpu.data.augment import sample_cluster_inputs
+
+        gt = self._gt(rng, b=2, n=512)
+        out = np.asarray(
+            sample_cluster_inputs(jax.random.PRNGKey(1), gt, 128, 4)
+        )
+        groups = out.reshape(2, 32, 4, 3)
+        spread = np.linalg.norm(
+            groups - groups.mean(axis=2, keepdims=True), axis=-1
+        ).mean()
+        pair_scale = np.linalg.norm(
+            out[:, :, None] - out[:, None, :], axis=-1
+        ).mean()
+        assert spread < 0.3 * pair_scale, (spread, pair_scale)
+
+    def test_bad_cluster_size_raises(self, rng):
+        import jax
+
+        from dispu_tpu.data.augment import sample_cluster_inputs
+
+        with pytest.raises(ValueError):
+            sample_cluster_inputs(jax.random.PRNGKey(0), self._gt(rng), 63, 4)
+
+    def test_mixing_gate(self, rng):
+        """cluster_prob=0 is exactly the nonuniform draw; prob=1 is exactly
+        the cluster draw (key-split layout pinned)."""
+        import jax
+
+        from dispu_tpu.data.augment import (
+            sample_cluster_inputs,
+            sample_nonuniform_inputs,
+            sample_training_inputs,
+        )
+
+        gt = self._gt(rng)
+        key = jax.random.PRNGKey(7)
+        np.testing.assert_array_equal(
+            np.asarray(sample_training_inputs(key, gt, 64, cluster_prob=0.0)),
+            np.asarray(sample_nonuniform_inputs(key, gt, 64)),
+        )
+        k_nu, k_cl, _ = jax.random.split(key, 3)
+        np.testing.assert_array_equal(
+            np.asarray(
+                sample_training_inputs(key, gt, 64, cluster_prob=1.0)
+            ),
+            np.asarray(sample_cluster_inputs(k_cl, gt, 64, 4)),
+        )
+
+    def test_mixing_is_per_example(self, rng):
+        """At 0.5, some examples in a batch take each branch (fixed key)."""
+        import jax
+
+        from dispu_tpu.data.augment import (
+            sample_cluster_inputs,
+            sample_nonuniform_inputs,
+            sample_training_inputs,
+        )
+
+        gt = self._gt(rng, b=16)
+        key = jax.random.PRNGKey(3)
+        mixed = np.asarray(
+            sample_training_inputs(key, gt, 64, cluster_prob=0.5)
+        )
+        k_nu, k_cl, _ = jax.random.split(key, 3)
+        nu = np.asarray(sample_nonuniform_inputs(k_nu, gt, 64))
+        cl = np.asarray(sample_cluster_inputs(k_cl, gt, 64, 4))
+        took_nu = [np.allclose(mixed[b], nu[b]) for b in range(16)]
+        took_cl = [np.allclose(mixed[b], cl[b]) for b in range(16)]
+        assert all(a or b for a, b in zip(took_nu, took_cl))
+        assert any(took_nu) and any(took_cl)
+
+
 class TestHierarchy:
     def test_extractor_shapes(self, rng):
         from dispu_tpu.nn.hierarchy import HierarchyFeatureExtractor

@@ -67,6 +67,91 @@ class TestGANStep:
         assert max_diff(gan_state.d_params, new_state.d_params) > 0
 
 
+class TestGenUpdate:
+    """--gen_update consumption in the deviating d_clip=0 config (VERDICT
+    r4 item 2: the critic trains once per gen_update generator steps)."""
+
+    @staticmethod
+    def _cfg(gen_update, d_clip=0.0):
+        import dataclasses
+
+        return dataclasses.replace(
+            TINY_CFG,
+            train=dataclasses.replace(
+                TINY_CFG.train, d_clip=d_clip, gen_update=gen_update
+            ),
+        )
+
+    @staticmethod
+    def _max_diff(a, b):
+        return max(
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(
+                    lambda x, y: float(jnp.abs(x - y).max()), a, b
+                )
+            )
+        )
+
+    def test_d_trains_only_on_schedule(self, rng):
+        cfg = self._cfg(2)
+        state = create_gan_state(jax.random.PRNGKey(0), cfg)
+        step = make_gan_train_step(cfg, donate=False)
+        gt = jnp.asarray(rng.randn(4, 128, 3), jnp.float32)
+        radius = jnp.ones((4,))
+        s1, m1 = step(state, gt, radius, jax.random.PRNGKey(1))
+        assert self._max_diff(state.d_params, s1.d_params) > 0  # step 0: D
+        s2, m2 = step(s1, gt, radius, jax.random.PRNGKey(2))
+        # step 1: hold — D params AND optimizer moments untouched, G moves,
+        # critic-health metrics still produced
+        assert self._max_diff(s1.d_params, s2.d_params) == 0
+        assert self._max_diff(s1.d_opt_state, s2.d_opt_state) == 0
+        assert self._max_diff(s1.gen.params, s2.gen.params) > 0
+        for k in ("d_loss", "d_gap", "d_var"):
+            assert np.isfinite(float(m2[k])), k
+        s3, _ = step(s2, gt, radius, jax.random.PRNGKey(3))
+        assert self._max_diff(s2.d_params, s3.d_params) > 0  # step 2: D
+
+    def test_gen_update_1_is_the_ungated_path(self, rng):
+        """gen_update=1 compiles to the round-4 d_clip=0 graph (no cond);
+        gen_update=2 carries the gate.  The D forward both paths see is
+        identical — pinned on d_loss/d_gap, which match bitwise.  (Param
+        bit-equality across the two programs is NOT a valid contract:
+        Adam's first update is ≈ sign(grad)·lr, so compilation-level
+        noise on near-zero-gradient coordinates flips whole ±lr steps.)"""
+        gt = jnp.asarray(rng.randn(4, 128, 3), jnp.float32)
+        radius = jnp.ones((4,))
+        metrics, jaxprs = [], []
+        for gu in (1, 2):
+            cfg = self._cfg(gu)
+            state = create_gan_state(jax.random.PRNGKey(0), cfg)
+            step = make_gan_train_step(cfg, donate=False, jit_compile=False)
+            jaxprs.append(
+                str(jax.make_jaxpr(step)(state, gt, radius,
+                                         jax.random.PRNGKey(1)))
+            )
+            _, m = jax.jit(step)(state, gt, radius, jax.random.PRNGKey(1))
+            metrics.append(m)
+        assert " cond[" not in jaxprs[0]  # ungated graph
+        assert " cond[" in jaxprs[1]      # gated graph
+        for k in ("d_loss", "d_gap", "d_var", "fine_cd"):
+            np.testing.assert_allclose(
+                np.asarray(metrics[0][k]), np.asarray(metrics[1][k]),
+                rtol=1e-6, atol=1e-7, err_msg=k,
+            )
+
+    def test_reference_clip_ignores_gen_update(self, rng):
+        """With the reference clip on, D trains every step regardless of
+        gen_update — the reference never consumes the flag."""
+        cfg = self._cfg(2, d_clip=0.01)
+        state = create_gan_state(jax.random.PRNGKey(0), cfg)
+        step = make_gan_train_step(cfg, donate=False)
+        gt = jnp.asarray(rng.randn(4, 128, 3), jnp.float32)
+        radius = jnp.ones((4,))
+        s1, _ = step(state, gt, radius, jax.random.PRNGKey(1))
+        s2, _ = step(s1, gt, radius, jax.random.PRNGKey(2))
+        assert self._max_diff(s1.d_params, s2.d_params) > 0
+
+
 def test_shared_geometry_step_equivalence(rng):
     """The critic's hoisted geometry (``groups=``) must be a pure
     refactor: bit-identical forward values, and identical pred-gradients
@@ -234,7 +319,11 @@ class TestDiscriminatorHealth:
 
         cfg = dataclasses.replace(
             TINY_CFG,
-            train=TrainConfig(batch_size=8, d_clip=d_clip, base_lr_d=lr_d),
+            # gen_update=1: these tests pin the critic's SEPARATION
+            # ability per D update, not the balance schedule (which would
+            # halve the D steps in the d_clip=0 leg — see TestGenUpdate)
+            train=TrainConfig(batch_size=8, d_clip=d_clip, base_lr_d=lr_d,
+                              gen_update=1),
         )
         gt_all, _, radius_all = synthetic_patches(16, 128, seed=2)
         state = create_gan_state(jax.random.PRNGKey(seed), cfg)

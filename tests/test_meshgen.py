@@ -6,7 +6,10 @@ import numpy as np
 import pytest
 
 from dispu_tpu.data.meshgen import (
+    _round_corners,
     build_h5_dataset,
+    cad_revolution,
+    convex_polyhedron,
     deformed_box,
     fps_numpy,
     grid_mesh,
@@ -17,6 +20,8 @@ from dispu_tpu.data.meshgen import (
     poisson_disk_sample,
     revolution_surface,
     superellipsoid,
+    thin_plate,
+    thin_shell,
     torus_knot_tube,
 )
 from dispu_tpu.evaluation.meshio import mesh_face_areas
@@ -97,6 +102,97 @@ class TestMeshBuilders:
         assert len(prefixes) == 5
         for _, (v, f) in c1:
             _check_mesh(v, f)
+
+
+class TestV2Families:
+    """Round-5 corpus classes: flat-faceted polyhedra, CAD fillet/chamfer
+    revolutions, thin plates, thin-walled shells (VERDICT r4 item 1)."""
+
+    @pytest.mark.parametrize("mesh_fn", [
+        lambda: convex_polyhedron(8, rng=np.random.RandomState(2)),
+        lambda: convex_polyhedron(16, rng=np.random.RandomState(3)),
+        lambda: cad_revolution(rng=np.random.RandomState(4), nv=64),
+        lambda: thin_plate(rng=np.random.RandomState(5), n=24),
+        lambda: thin_shell(rng=np.random.RandomState(6), nv=64),
+    ])
+    def test_new_families_valid(self, mesh_fn):
+        verts, faces = mesh_fn()
+        _check_mesh(verts, faces)
+
+    def test_polyhedron_is_convex_with_flat_facets(self):
+        verts, faces = convex_polyhedron(10, rng=np.random.RandomState(0))
+        centroid = verts.mean(0)
+        tri = verts[faces]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        # outward orientation, and every vertex on/behind every facet plane
+        out = np.einsum("fc,fc->f", n, tri.mean(1) - centroid)
+        assert (out > 0).all()
+        d = verts @ n.T - np.einsum("fc,fc->f", n, tri[:, 0])[None]
+        assert d.max() < 1e-5  # convexity: no vertex outside any facet
+
+    def test_thin_plate_is_thin(self):
+        verts, _ = thin_plate(rng=np.random.RandomState(1), n=24)
+        verts = normalize_mesh(verts)
+        # PCA: smallest extent well below the others
+        c = verts - verts.mean(0)
+        s = np.linalg.svd(c, compute_uv=False) / np.sqrt(len(verts))
+        assert s[2] < 0.15 * s[0], s
+
+    def test_thin_shell_has_two_walls(self):
+        """A z-midheight slice crosses 2 walls: radial spread shows both
+        the inner and outer surface."""
+        verts, _ = thin_shell(rng=np.random.RandomState(2), nv=64)
+        z = verts[:, 2]
+        mid = (z > np.percentile(z, 40)) & (z < np.percentile(z, 60))
+        r = np.linalg.norm(verts[mid][:, :2], axis=-1)
+        wall = r.max() - r.min()
+        assert 0.0 < wall < 0.25 * r.max() * 2  # thin, but two radii present
+        # two distinct radius modes
+        assert np.std(r) > 0.005
+
+    def test_round_corners_modes(self):
+        poly = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+        sharp = _round_corners(poly, ["sharp"])
+        np.testing.assert_allclose(sharp, poly)
+        cham = _round_corners(poly, ["chamfer"], trim=0.1)
+        assert len(cham) == 4  # corner replaced by two setback points
+        np.testing.assert_allclose(cham[1], [0.9, 0.0])
+        np.testing.assert_allclose(cham[2], [1.0, 0.1])
+        fil = _round_corners(poly, ["fillet"], trim=0.1, arc_pts=9)
+        assert len(fil) == 11
+        # tangent-continuous: first/last arc points are the setbacks
+        np.testing.assert_allclose(fil[1], [0.9, 0.0])
+        np.testing.assert_allclose(fil[-2], [1.0, 0.1])
+        # interior of the arc stays inside the corner
+        assert (fil[2:-2, 0] < 1.0).all() and (fil[2:-2, 1] > 0.0).all()
+
+    def test_round_corners_degenerate_edge_falls_back_sharp(self):
+        poly = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 0.0], [2.0, 1.0]])
+        out = _round_corners(poly, ["fillet", "fillet"], trim=0.1)
+        assert np.isfinite(out).all()
+
+    def test_v2_corpus_deterministic_and_has_new_classes(self):
+        c1 = make_corpus(13, seed=0, families="v2")
+        c2 = make_corpus(13, seed=0, families="v2")
+        assert [n for n, _ in c1] == [n for n, _ in c2]
+        for (_, (v1, f1)), (_, (v2, f2)) in zip(c1, c2):
+            np.testing.assert_array_equal(v1, v2)
+        prefixes = {n.split("_")[0].rstrip("0123456789") for n, _ in c1}
+        assert {"poly", "fillet", "plate", "shell"} <= prefixes
+        for _, (v, f) in c1:
+            _check_mesh(v, f)
+
+    def test_v1_stream_unchanged_by_v2_additions(self):
+        """The held-out builder depends on v1 bit-stability."""
+        c = make_corpus(5, seed=3, families="v1")
+        assert [n for n, _ in c] == [
+            "superell_00", "knot32_01", "revolve_02", "box_03", "blob_04"
+        ]
+
+    def test_unknown_family_set_raises(self):
+        with pytest.raises(ValueError):
+            make_corpus(1, families="v3")
 
 
 class TestOffRoundtrip:
