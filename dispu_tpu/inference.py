@@ -87,6 +87,10 @@ class PatchUpsampler:
             self._pipeline_impl,
             static_argnames=("seed_num", "out_num", "bs"),
         )
+        self._pipeline_many = jax.jit(
+            self._pipeline_many_impl,
+            static_argnames=("seed_num", "out_num", "bs"),
+        )
 
     # ---------------------------------------------------------------- stages
 
@@ -147,7 +151,77 @@ class PatchUpsampler:
         pred = pred * p_furthest + p_centroid
         return self._merge_impl(pred.reshape(-1, 3), out_num)
 
+    def _pipeline_many_impl(self, pcs_n, seed_num: int, out_num: int,
+                            bs: int):
+        """The streaming pipeline: B same-size clouds in ONE XLA program.
+
+        Patch extraction, the generator, and the merge all run natively
+        batched over the cloud axis; crucially the B final-merge FPS
+        problems fuse into one batch-advancing kernel
+        (``farthest_point_sample(impl='batch')``) whose serial per-round
+        argmax chain — ~45% of the 16× exact pipeline and latency-bound
+        (PERFORMANCE.md "exact merge-FPS wall") — is paid once for the
+        whole batch instead of per cloud.  The reference's analog is
+        fully serial per cloud (ref:DisPU/model.py:343-381 loops files).
+        """
+        B, n, _ = pcs_n.shape
+        patch_size = self.inf_cfg.patch_num_point
+        seeds_idx = farthest_point_sample(seed_num, pcs_n)     # (B, s)
+        seeds = jnp.take_along_axis(pcs_n, seeds_idx[..., None], axis=1)
+        _, idx = knn(patch_size, pcs_n, seeds)                 # (B, s, p)
+        flat = jnp.take_along_axis(
+            pcs_n, idx.reshape(B, seed_num * patch_size)[..., None], axis=1
+        )
+        patches = flat.reshape(B * seed_num, patch_size, 3)
+        patches, p_centroid, p_furthest = normalize_point_cloud(patches)
+        pad = (-patches.shape[0]) % bs
+        if pad:
+            filler = jnp.broadcast_to(
+                patches[:1], (pad,) + patches.shape[1:]
+            )
+            patches = jnp.concatenate([patches, filler], axis=0)
+        chunks = patches.reshape(-1, bs, *patches.shape[1:])
+        body = self._upsample_batch_impl
+        if self._chunk_sharding is not None:
+            body = lambda ch: self._upsample_batch_impl(  # noqa: E731
+                jax.lax.with_sharding_constraint(ch, self._chunk_sharding)
+            )
+        preds = jax.lax.map(body, chunks)
+        pred = preds.reshape(-1, *preds.shape[2:])[: B * seed_num]
+        pred = pred * p_furthest + p_centroid
+        merged = pred.reshape(B, -1, 3)
+        midx = farthest_point_sample(out_num, merged, impl="batch")
+        return jnp.take_along_axis(merged, midx[..., None], axis=1)
+
     # ------------------------------------------------------------------- API
+
+    def upsample_many(self, pcs) -> np.ndarray:
+        """Streaming batch API: upsample B same-size clouds in one
+        dispatch — (B, n, 3) → (B, n·final_ratio, 3).
+
+        Per-cloud outputs are NOT bit-identical to ``upsample`` (the
+        merge FPS tie order matches, but patch padding differs and the
+        generator sees different batch compositions — f32 reduction
+        orders shift at round-off); quality metrics are equal within
+        evaluation noise (tests/test_inference.py pins CPU equivalence).
+        Single-device path only."""
+        if self.mesh is not None and not self.mesh_fused:
+            raise ValueError(
+                "upsample_many is a single-program path; use the fused "
+                "SPMD mode (mesh_fused=True) or per-cloud upsample()"
+            )
+        pcs = np.asarray(pcs, np.float32)[:, :, :3]
+        B, n, _ = pcs.shape
+        seed_num, out_num = plan_counts(n, self.inf_cfg)
+        pcs_n, centroid, furthest = normalize_point_cloud(jnp.asarray(pcs))
+        bs = self.inf_cfg.patch_batch
+        if self.mesh_fused:
+            n_dev = self.mesh.shape["data"]
+            bs = ((bs + n_dev - 1) // n_dev) * n_dev
+        out = self._pipeline_many(
+            pcs_n, seed_num=seed_num, out_num=out_num, bs=bs
+        )
+        return np.asarray(out * furthest + centroid)
 
     def upsample(self, pc: np.ndarray) -> np.ndarray:
         """(n, 3) numpy cloud → (n·final_ratio, 3) upsampled cloud."""

@@ -359,6 +359,163 @@ def _make_fps_chunked_kernel(npoint: int, width: int):
     return kernel
 
 
+def _make_fps_chunked_batch_kernel(npoint: int, width: int, bsz: int):
+    def kernel(actual_n_ref, pts_ref, out_ref, mindist_ref):
+        """Batch-fused chunked FPS: ONE grid step advances ``bsz`` clouds
+        together — round j selects the j-th point of EVERY cloud.
+
+        Exact FPS is latency-bound on its serial per-round argmax chain
+        (falsified-bandwidth measurement, PERFORMANCE.md "exact merge-FPS
+        wall"), so a second independent cloud's chain rides the same
+        rounds nearly free: the per-cloud chunk updates inside each
+        round carry no cross-cloud dependencies (python-unrolled over
+        ``bsz`` with separate carries), giving the scheduler ``bsz``
+        independent instruction streams to interleave where the
+        single-cloud kernel stalls on its own carry.
+
+        pts (bsz, 3, nc, 8, width) VMEM; out (bsz, m_rows, 128);
+        mindist scratch (bsz, nc, 8, width).  Per cloud the arithmetic,
+        visit order, and tie rules are exactly
+        :func:`_make_fps_chunked_kernel`'s, so selections are
+        bit-identical to the single-cloud kernel and the XLA loop
+        (pinned by tests/test_pallas.py::TestFPSChunkedBatch).
+        """
+        nc = pts_ref.shape[2]
+        cw = 8 * width
+        n = nc * cw
+        actual_n = actual_n_ref[0]
+        m_rows = out_ref.shape[1]
+
+        row_l = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, width), 0) * width
+            + jax.lax.broadcasted_iota(jnp.int32, (8, width), 1)
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        def init_chunk(c, _):
+            md0 = jnp.where(c * cw + row_l < actual_n, 1e38, -1.0)
+            for v in range(bsz):
+                mindist_ref[v, c] = md0
+            return 0
+
+        jax.lax.fori_loop(0, nc, init_chunk, 0)
+        for v in range(bsz):
+            out_ref[v] = jnp.zeros((m_rows, 128), jnp.int32)
+
+        first = row_l == 0
+        q0 = []
+        for v in range(bsz):
+            q0.extend([
+                jnp.max(jnp.where(first, pts_ref[v, 0, 0], -jnp.inf)),
+                jnp.max(jnp.where(first, pts_ref[v, 1, 0], -jnp.inf)),
+                jnp.max(jnp.where(first, pts_ref[v, 2, 0], -jnp.inf)),
+            ])
+
+        def round_body(j, q):
+            def chunk(c, cc):
+                out = []
+                for v in range(bsz):
+                    maxvec, flatvec, xv, yv, zv = cc[5 * v: 5 * v + 5]
+                    qx, qy, qz = q[3 * v: 3 * v + 3]
+                    xc = pts_ref[v, 0, c]
+                    yc = pts_ref[v, 1, c]
+                    zc = pts_ref[v, 2, c]
+                    d = (xc - qx) ** 2 + (yc - qy) ** 2 + (zc - qz) ** 2
+                    nmd = jnp.minimum(mindist_ref[v, c], d)
+                    mindist_ref[v, c] = nmd
+                    upd = nmd > maxvec
+                    out.extend([
+                        jnp.where(upd, nmd, maxvec),
+                        jnp.where(upd, c * cw + row_l, flatvec),
+                        jnp.where(upd, xc, xv),
+                        jnp.where(upd, yc, yv),
+                        jnp.where(upd, zc, zv),
+                    ])
+                return tuple(out)
+
+            zero = jnp.zeros((8, width), jnp.float32)
+            init = []
+            for _ in range(bsz):
+                init.extend([
+                    jnp.full((8, width), -2.0, jnp.float32),
+                    jnp.zeros((8, width), jnp.int32), zero, zero, zero,
+                ])
+            cc = jax.lax.fori_loop(0, nc, chunk, tuple(init))
+
+            jr = j // 128
+            lane_match = lane == j - jr * 128
+            nq = []
+            for v in range(bsz):
+                maxvec, flatvec, xv, yv, zv = cc[5 * v: 5 * v + 5]
+                maxval = jnp.max(maxvec)
+                cand = maxvec == maxval
+                nxt = jnp.min(jnp.where(cand, flatvec, n)).astype(jnp.int32)
+                sel = cand & (flatvec == nxt)
+                cur = out_ref[v, pl.ds(jr, 1), :]
+                out_ref[v, pl.ds(jr, 1), :] = jnp.where(
+                    lane_match, nxt, cur
+                )
+                nq.extend([
+                    jnp.max(jnp.where(sel, xv, -jnp.inf)),
+                    jnp.max(jnp.where(sel, yv, -jnp.inf)),
+                    jnp.max(jnp.where(sel, zv, -jnp.inf)),
+                ])
+            return tuple(nq)
+
+        jax.lax.fori_loop(1, npoint, round_body, tuple(q0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def fps_pallas_chunked_batch(
+    npoint: int, xyz: jnp.ndarray, interpret: bool = False,
+    width: int = 128,
+):
+    """Batch-fused chunked FPS: all ``b`` clouds advance per round (see
+    _make_fps_chunked_batch_kernel).  Same contract as
+    :func:`fps_pallas_chunked` per cloud — (b, npoint) int32, seed index
+    0, bit-identical selection — with the serial round chain amortized
+    across the batch (the streaming inference API's merge stage,
+    VERDICT r4 item 6).  Caller gates VMEM residency
+    (ops.sampling._fps_chunked_fits with the b× multiplier)."""
+    assert width % 128 == 0 and width > 0
+    b, n, _ = xyz.shape
+    cw = 8 * width
+    n_pad = _round_up(max(n, cw), cw)
+    nc = n_pad // cw
+    m_pad = _round_up(max(npoint, 128), 128)
+    xyz = jax.lax.stop_gradient(xyz)
+    pts = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (b, 3, n)
+    if n_pad != n:
+        pts = jnp.pad(pts, ((0, 0), (0, 0), (0, n_pad - n)))
+    pts = pts.reshape(b, 3, nc, 8, width)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(
+                (b, 3, nc, 8, width), lambda i, *_: (0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (b, m_pad // 128, 128), lambda i, *_: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((b, nc, 8, width), jnp.float32)],
+    )
+
+    out = pl.pallas_call(
+        _make_fps_chunked_batch_kernel(npoint, width, b),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, m_pad // 128, 128), jnp.int32),
+        interpret=interpret,
+    )(jnp.array([n], jnp.int32), pts)
+    return jax.lax.stop_gradient(out.reshape(b, m_pad)[:, :npoint])
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def fps_pallas_chunked(
     npoint: int, xyz: jnp.ndarray, interpret: bool = False,

@@ -26,7 +26,12 @@ def farthest_point_sample(
       xyz: (b, n, 3) input points.
       impl: 'auto' (on TPU: the wide Pallas kernel inside its measured
         VMEM envelope, the chunked-sweep kernel above it, XLA loop past
-        both; XLA loop off-TPU), 'xla', 'pallas', or 'chunked'.
+        both; XLA loop off-TPU), 'xla', 'pallas', 'chunked', or 'batch'
+        ('batch' fuses all b clouds into ONE chunked kernel whose rounds
+        advance every cloud together — the serial argmax chain is
+        latency-bound, so independent clouds ride it nearly free; falls
+        back to 'auto' when b == 1, off-TPU, or past the b×-scaled VMEM
+        envelope.  Opt-in: the streaming inference API's merge stage).
 
     Returns:
       (b, npoint) int32 indices; the first selected index is always 0.
@@ -39,6 +44,17 @@ def farthest_point_sample(
     the greedy argmax order ambiguous (both orders are valid FPS results;
     the CUDA reference has its own tie order too).
     """
+    if impl == "batch":
+        b = xyz.shape[0]
+        if (
+            b > 1
+            and jax.default_backend() not in ("cpu", "gpu")
+            and _fps_chunked_batch_fits(xyz.shape[1], npoint, b)
+        ):
+            from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked_batch
+
+            return fps_pallas_chunked_batch(npoint, xyz)
+        impl = "auto"
     if impl == "auto":
         if jax.default_backend() in ("cpu", "gpu"):
             impl = "xla"
@@ -87,6 +103,20 @@ def _fps_chunked_fits(n: int, npoint: int) -> bool:
     n_pad = -(-max(n, 1024) // 1024) * 1024
     m_pad = -(-max(npoint, 128) // 128) * 128
     return 28 * n_pad + 8 * m_pad <= 64 * 2**20
+
+
+def _fps_chunked_batch_fits(n: int, npoint: int, b: int) -> bool:
+    """Envelope for the batch-fused chunked kernel: the whole batch's
+    coordinate planes + mindist scratch + output rows live in VMEM at
+    once (one grid step), so the per-cloud budget scales by b.  The
+    unrolled per-cloud carries also multiply live (8, width) registers,
+    so b is additionally capped small (the streaming API's sweet spot is
+    2-4 concurrent merges)."""
+    if b > 4:
+        return False
+    n_pad = -(-max(n, 1024) // 1024) * 1024
+    m_pad = -(-max(npoint, 128) // 128) * 128
+    return b * (28 * n_pad + 8 * m_pad) <= 64 * 2**20
 
 
 @functools.partial(jax.jit, static_argnums=0)

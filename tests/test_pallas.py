@@ -116,6 +116,66 @@ class TestFPSChunkedPallas:
         assert got[0, 0] == 0
         assert len(set(got[0].tolist())) == 256
 
+
+class TestFPSChunkedBatch:
+    """Batch-fused chunked FPS (VERDICT r4 item 6): all b clouds advance
+    per round; selections per cloud must be bit-identical to the XLA
+    loop (and thus to the single-cloud chunked kernel)."""
+
+    @pytest.mark.parametrize("b,n,npoint", [(2, 1024, 128), (3, 1500, 200)])
+    def test_matches_xla_fps(self, rng, b, n, npoint):
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked_batch
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        xyz = rng.randn(b, n, 3).astype(np.float32)
+        want = np.asarray(_fps_xla(npoint, jnp.asarray(xyz)))
+        got = np.asarray(
+            fps_pallas_chunked_batch(npoint, jnp.asarray(xyz),
+                                     interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_tie_order_with_duplicates(self, rng):
+        from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked_batch
+        from dispu_tpu.ops.sampling import _fps_xla
+
+        base = rng.randn(40, 3).astype(np.float32)
+        xyz = np.stack([
+            np.tile(base, (52, 1)),                   # ties across chunks
+            np.tile(rng.randn(40, 3).astype(np.float32), (52, 1)),
+        ])  # (2, 2080, 3) -> nc=3
+        want = np.asarray(_fps_xla(64, jnp.asarray(xyz)))
+        got = np.asarray(
+            fps_pallas_chunked_batch(64, jnp.asarray(xyz), interpret=True)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_padding_never_selected_and_clouds_independent(self, rng):
+        from dispu_tpu.ops.pallas_kernels import (
+            fps_pallas_chunked,
+            fps_pallas_chunked_batch,
+        )
+
+        xyz = rng.randn(3, 1030, 3).astype(np.float32)
+        got = np.asarray(
+            fps_pallas_chunked_batch(256, jnp.asarray(xyz), interpret=True)
+        )
+        assert got.max() < 1030
+        # batch fusion must not couple clouds: each row equals its own
+        # single-cloud kernel run
+        for v in range(3):
+            solo = np.asarray(fps_pallas_chunked(
+                256, jnp.asarray(xyz[v: v + 1]), interpret=True
+            ))[0]
+            np.testing.assert_array_equal(got[v], solo)
+
+    def test_dispatch_gate(self):
+        from dispu_tpu.ops.sampling import _fps_chunked_batch_fits
+
+        assert _fps_chunked_batch_fits(237_568, 80_000, 2)
+        assert not _fps_chunked_batch_fits(237_568, 80_000, 5)  # b cap
+        assert not _fps_chunked_batch_fits(3_000_000, 80_000, 3)  # VMEM
+
     def test_npoint_over_row_boundary(self, rng):
         """npoint > 128 exercises the dynamic-sublane output row writes."""
         from dispu_tpu.ops.pallas_kernels import fps_pallas_chunked
