@@ -64,6 +64,15 @@ class GeneratorConfig:
     # 47.8 ms — fitting the 16 MiB VMEM envelope forces tile_m=64) and
     # its turbo mode only ties there (46.3 ms), so it stays opt-in.
     fused_grouping: bool = False
+    # refiner local+skip branch evaluation at INFERENCE: 'xla' (composed
+    # Dense/einsum chain) or 'fused' — one Pallas kernel per 128-point
+    # tile keeping all (b,n,k,·) intermediates in VMEM (the composed path
+    # round-trips ~3.9 GB of activations through HBM at b=64); f32 matmul
+    # round-off deviation only, same params/checkpoints.  Training and
+    # module init always use the composed path (the kernel has no
+    # autodiff rule).  Default pending the on-chip A/B
+    # (scripts/profile_r5b.py).
+    refine_local_impl: str = "xla"
     # backbone DenseEdgeBlock evaluation: 'concat' (the reference's
     # literal dataflow — each conv reads a concatenated (b,n,k,·) tensor)
     # or 'split' (conv distributed over the concat parts; k-independent

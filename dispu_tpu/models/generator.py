@@ -105,6 +105,7 @@ class DisPUGenerator(nn.Module):
                 else ("onehot" if cfg.fast_gather else cfg.gather_impl)
             ),
             knn_variant="packed" if cfg.fast_knn else "auto",
+            local_impl=cfg.refine_local_impl,
             dtype=self.dtype,
             name="PointShuffle",
         )(coarse, fine_feat, train)

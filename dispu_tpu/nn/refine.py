@@ -53,6 +53,13 @@ class PointShuffle2(nn.Module):
     gather_impl: str = "gather"
     # xyz-kNN selection: 'auto' (exact) | 'packed' (turbo — see ops.knn.knn)
     knn_variant: str = "auto"
+    # local+skip branch evaluation: 'xla' (composed Dense/einsum chain) or
+    # 'fused' — one Pallas kernel per 128-point tile that keeps every
+    # (b, n, k, ·) intermediate in VMEM (ops.pallas_kernels.
+    # refine_local_pallas).  Inference-only (no autodiff rule; train=True
+    # and module init keep the composed path), f32-only, same params /
+    # checkpoint layout; values match to f32 matmul round-off.
+    local_impl: str = "xla"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,34 +97,56 @@ class PointShuffle2(nn.Module):
                 name="nonlocal", **kw,
             )(feature, new_feat[:, None, :, :], train)[:, 0]  # (b, n, out_c)
 
-        # skip connection: max over neighbors then dense
-        skip = PointConv(out_c, name="skip", **kw)(
-            jnp.max(grouped_feat, axis=2), train
-        )
-
-        # local branch
-        y = grouped_feat
-        for i, ch in enumerate(self.mlp[:-1]):
-            y = PointConv(ch, name=f"conv{i}", **kw)(y, train)
-        w = WeightNetHidden(
+        skip_mod = PointConv(out_c, name="skip", **kw)
+        conv_mods = [
+            PointConv(ch, name=f"conv{i}", **kw)
+            for i, ch in enumerate(self.mlp[:-1])
+        ]
+        wnet_mod = WeightNetHidden(
             (k,), bn_momentum=self.bn_momentum, dtype=self.dtype,
             name="weight_net",
-        )(centered, train)                     # (b, n, k, k)
-        # feature^T @ weights, computed in the transpose-free operand order:
-        # the big (b,n,k,C') tensor is already laid out (K=k, N=C') for the
-        # MXU, so contracting as w^T·y avoids relayouting 0.5 GB (only the
-        # tiny (k,k) plane transposes); the flatten is therefore k-major and
-        # ``after_conv`` permutes its kernel rows instead (stored layout
-        # stays the reference's C'-major (C',S) plane, ref:Common/ops.py:
-        # 1064-1072 — checkpoints/converter unchanged).  -0.7 ms vs the
-        # (b,n,C',k) form at b=64 on v5e, same values to f32 round-off.
-        c_prime = y.shape[-1]
-        y = jnp.einsum("bnkt,bnkc->bntc", w, y)
-        y = y.reshape(b, n, -1)                # flatten (k, C'), k-major
-        y = PointConv(out_c, name="after_conv",
-                      kernel_row_perm=(c_prime, k), **kw)(y, train)
+        )
+        c_prime = self.mlp[-2]
+        after_mod = PointConv(out_c, name="after_conv",
+                              kernel_row_perm=(c_prime, k), **kw)
 
-        y = y + skip
+        use_fused = (
+            self.local_impl == "fused"
+            and not train
+            and not self.is_initializing()
+            and not self.use_bn
+            and len(self.mlp) == 3
+            and jnp.dtype(self.dtype) == jnp.float32
+            and n % 128 == 0
+        )
+        if use_fused:
+            y = self._fused_local(
+                conv_mods, wnet_mod, skip_mod, after_mod,
+                grouped_feat, c_prime, out_c, k,
+            )
+        else:
+            # skip connection: max over neighbors then dense
+            skip = skip_mod(jnp.max(grouped_feat, axis=2), train)
+
+            # local branch
+            y = grouped_feat
+            for mod in conv_mods:
+                y = mod(y, train)
+            w = wnet_mod(centered, train)          # (b, n, k, k)
+            # feature^T @ weights, computed in the transpose-free operand
+            # order: the big (b,n,k,C') tensor is already laid out
+            # (K=k, N=C') for the MXU, so contracting as w^T·y avoids
+            # relayouting 0.5 GB (only the tiny (k,k) plane transposes);
+            # the flatten is therefore k-major and ``after_conv`` permutes
+            # its kernel rows instead (stored layout stays the reference's
+            # C'-major (C',S) plane, ref:Common/ops.py:1064-1072 —
+            # checkpoints/converter unchanged).  -0.7 ms vs the
+            # (b,n,C',k) form at b=64 on v5e, same values to f32 round-off.
+            y = jnp.einsum("bnkt,bnkc->bntc", w, y)
+            y = y.reshape(b, n, -1)            # flatten (k, C'), k-major
+            y = after_mod(y, train)
+
+            y = y + skip
         if self.use_nonlocal and self.use_local:
             y = y + nl
         elif self.use_nonlocal:
@@ -125,3 +154,49 @@ class PointShuffle2(nn.Module):
 
         out = PointConv(out_c, name="aggregation", **kw)(y, train)
         return new_xyz, out
+
+    def _fused_local(self, conv_mods, wnet_mod, skip_mod, after_mod,
+                     grouped_feat, c_prime, out_c, k):
+        """Run the local+skip branch through the fused Pallas kernel.
+
+        The submodules are touched with shape-correct dummies so their
+        params exist under the exact names/shapes of the composed path
+        (checkpoints, the TF converter, and the XLA path are untouched);
+        the kernel then consumes the raw Dense params, with the
+        weight-net's inference BN affine folded into its kernel/bias
+        (running stats are constants at train=False).
+        """
+        import jax
+
+        from dispu_tpu.ops.pallas_kernels import refine_local_pallas
+
+        cf = grouped_feat.shape[-1]
+        z = jnp.zeros
+        conv_mods[0](z((1, 1, 1, cf), jnp.float32), False)
+        conv_mods[1](z((1, 1, 1, conv_mods[0].features), jnp.float32), False)
+        wnet_mod(z((1, 1, 1, 3), jnp.float32), False)
+        skip_mod(z((1, 1, cf), jnp.float32), False)
+        after_mod(z((1, 1, k * c_prime), jnp.float32), False)
+
+        def dense_params(mod):
+            v = mod.variables["params"]["dense"]
+            return v["kernel"], v["bias"]
+
+        w0, b0 = dense_params(conv_mods[0])
+        w1, b1 = dense_params(conv_mods[1])
+        wsk, bsk = dense_params(skip_mod)
+        waf, baf = dense_params(after_mod)
+        wn_p = wnet_mod.variables["params"]["wconv0"]
+        wn_s = wnet_mod.variables["batch_stats"]["wconv0"]["bn"]
+        sc = wn_p["bn"]["scale"] * jax.lax.rsqrt(wn_s["var"] + 1e-3)
+        ww = wn_p["dense"]["kernel"] * sc[None, :]
+        bw = (wn_p["dense"]["bias"] - wn_s["mean"]) * sc + wn_p["bn"]["bias"]
+        # t-major row blocks of the (c'·k, out) checkpoint kernel — the
+        # same permutation _PermutedRowDense applies (see its docstring)
+        waf3 = waf.reshape(c_prime, k, out_c).swapaxes(0, 1)
+        return refine_local_pallas(
+            grouped_feat, w0, b0, w1, b1, ww, bw, wsk, bsk, waf3, baf,
+            # CPU (tests, dryruns): Mosaic cannot lower — run the kernel
+            # in interpret mode so the flag stays functional everywhere
+            interpret=jax.default_backend() in ("cpu",),
+        )

@@ -2378,3 +2378,123 @@ def nn_distance_chunked(xyz1: jnp.ndarray, xyz2: jnp.ndarray, chunk: int = 4096)
     d1, i1 = directed(xyz1, xyz2)
     d2, i2 = directed(xyz2, xyz1)
     return d1, i1, d2, i2
+
+
+# ---------------------------------------------------------------------------
+# Fused refiner local branch (round 5, VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+def _make_refine_local_kernel(k: int, cf: int, c_mid: int, c_out: int):
+    def kernel(g_ref, w0_ref, b0_ref, w1_ref, b1_ref, ww_ref, bw_ref,
+               wsk_ref, bsk_ref, waf_ref, baf_ref, out_ref):
+        """One grid step = (one cloud, one 128-point tile): the refiner's
+        whole local branch — conv0 → conv1 → weight-net pooling →
+        after_conv, plus the skip branch — without materializing any of
+        the (b, n, k, ·) intermediates in HBM.
+
+        The composed XLA path round-trips ~3.9 GB of (1M-row, 128-ch)
+        activations through HBM at the b=64 refiner shape (conv0 out,
+        conv1 in/out, pooling in/out, after_conv in); here every
+        intermediate lives in VMEM for the tile's lifetime and HBM sees
+        exactly one read of the grouped features and one write of the
+        (nt, c_out) output.  ref:Common/ops.py:1012-1072 is the workload.
+
+        g (1, nt, k, cf) VMEM — the grouped [centered_xyz | raw_xyz |
+        features] tensor; weight-net BN is pre-folded into (ww, bw) by
+        the wrapper (inference path: running stats are constants).
+        waf arrives pre-permuted (k, c_mid, c_out) — t-major row blocks
+        of the checkpoint's (c'·k, c_out) kernel, see
+        nn.layers._PermutedRowDense — so the per-t accumulation
+        ``acc += pool_t @ waf[t]`` IS after_conv on the t-major flatten.
+        """
+        nt = g_ref.shape[1]
+        g = g_ref[0].reshape(nt * k, cf)
+
+        h = jnp.dot(g, w0_ref[...], preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b0_ref[...], 0.0)
+        h = jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b1_ref[...], 0.0)          # (nt·k, c_mid)
+
+        cen = g[:, :3]                                  # centered xyz
+        w = jnp.dot(cen, ww_ref[...], preferred_element_type=jnp.float32)
+        w = jnp.maximum(w + bw_ref[...], 0.0)           # (nt·k, k)
+
+        h3 = h.reshape(nt, k, c_mid)
+        w3 = w.reshape(nt, k, k)
+        acc = jnp.zeros((nt, c_out), jnp.float32)
+        for t in range(k):  # static unroll: k independent MXU passes
+            pool_t = jnp.sum(h3 * w3[:, :, t][..., None], axis=1)
+            acc = acc + jnp.dot(
+                pool_t, waf_ref[t], preferred_element_type=jnp.float32
+            )
+        after = jnp.maximum(acc + baf_ref[...], 0.0)
+
+        gmax = jnp.max(g_ref[0], axis=1)                # (nt, cf)
+        skip = jnp.dot(gmax, wsk_ref[...], preferred_element_type=jnp.float32)
+        skip = jnp.maximum(skip + bsk_ref[...], 0.0)
+
+        out_ref[0] = after + skip
+
+    return kernel
+
+
+def refine_local_pallas(
+    grouped: jnp.ndarray,
+    w0, b0, w1, b1, ww, bw, wsk, bsk, waf, baf,
+    interpret: bool = False,
+    tile_n: int = 128,
+):
+    """Fused local+skip branch of PointShuffle2 (inference only — no
+    autodiff rule; the training path keeps the composed XLA form).
+
+    Args:
+      grouped: (b, n, k, cf) grouped [centered_xyz(3) | raw_xyz(3) |
+        features] tensor (n must be a multiple of ``tile_n``).
+      w0/b0, w1/b1: conv0/conv1 Dense params (cf→c_mid→c_mid).
+      ww/bw: weight-net Dense params with the inference BN affine folded
+        in (3→k).
+      wsk/bsk: skip Dense params (cf→c_out).
+      waf: after_conv kernel pre-permuted to (k, c_mid, c_out) t-major
+        blocks; baf its bias.
+
+    Returns:
+      (b, n, c_out) f32 — relu(after_conv(pool)) + relu(skip), exactly
+      the sum PointShuffle2 feeds the non-local add.  Values match the
+      composed XLA path to f32 matmul round-off (same contraction
+      shapes, different fusion; pinned by
+      tests/test_pallas.py::TestRefineLocalPallas).
+    """
+    b, n, k, cf = grouped.shape
+    if n % tile_n:
+        raise ValueError(f"n={n} must be a multiple of tile_n={tile_n}")
+    c_mid = w1.shape[-1]
+    c_out = wsk.shape[-1]
+    f32 = jnp.float32
+    args = [jnp.asarray(a, f32) for a in
+            (w0, b0[None], w1, b1[None], ww, bw[None],
+             wsk, bsk[None], waf, baf[None])]
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _make_refine_local_kernel(k, cf, c_mid, c_out),
+        grid=(b, n // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, tile_n, k, cf), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((cf, c_mid)), full((1, c_mid)),
+            full((c_mid, c_mid)), full((1, c_mid)),
+            full((3, k)), full((1, k)),
+            full((cf, c_out)), full((1, c_out)),
+            full((k, c_mid, c_out)), full((1, c_out)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_n, c_out), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c_out), f32),
+        interpret=interpret,
+    )(jnp.asarray(grouped, f32), *args)
+    return out

@@ -1,4 +1,5 @@
 """Round-5 pre-training sweep (one chip grant): GAN balance + cluster-aug.
+(See profile_r5b.py for the perf session.)
 
 Two decisions gate the round-5 401-epoch retrains (VERDICT r4 items 1-3),
 both cheap to resolve at 60 epochs on a 4.9k-pair subset of the new v2

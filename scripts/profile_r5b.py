@@ -122,6 +122,61 @@ def refiner_decomposition():
     print(f"  (roofline: {bytes_min/2**30:.2f} GiB minimal traffic "
           f"= {bytes_min/820e9*1e3:.2f} ms at 820 GB/s)", flush=True)
 
+    # -- the fused local-branch kernel, isolated and in the module -------
+    from dispu_tpu.ops.pallas_kernels import refine_local_pallas
+
+    waf3 = waf.reshape(128, k, 256).swapaxes(0, 1)
+    wn_sc = wn["bn"]["scale"] / jnp.sqrt(wn_bn["var"] + 1e-3)
+    ww_f = wn["dense"]["kernel"] * wn_sc[None, :]
+    bw_f = (wn["dense"]["bias"] - wn_bn["mean"]) * wn_sc + wn["bn"]["bias"]
+    timed("  fused local+skip kernel", lambda gg: refine_local_pallas(
+        gg, w0, b0, w1, b1, ww_f, bw_f, wsk, bsk, waf3, baf,
+    ), (g,))
+    # parity on chip
+    want = jax.jit(local_branch)(g, centered)
+    got = refine_local_pallas(
+        g, w0, b0, w1, b1, ww_f, bw_f, wsk, bsk, waf3, baf
+    )
+    scale = float(jnp.abs(want).max())
+    dev = float(jnp.abs(got - want).max())
+    print(f"  fused kernel max|Δ| vs composed: {dev:.2e} "
+          f"(scale {scale:.2f})", flush=True)
+
+    mod_fused = PointShuffle2(nsample=k, mlp=(128, 128, 256),
+                              gather_impl="onehot_hp", local_impl="fused")
+    timed("refiner full (fused local branch)", lambda x, f: mod_fused.apply(
+        {"params": p, "batch_stats": bs}, x, f, train=False,
+    ), (xyz, feat))
+
+
+def e2e_forward_ab():
+    """Full generator forward b=64 (the bench headline's unit), exact
+    config: composed vs fused local branch."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dispu_tpu.config import GeneratorConfig, TrainConfig
+    from dispu_tpu.models.generator import DisPUGenerator
+    from dispu_tpu.train.state import create_generator_state
+
+    print("== generator forward b=64 (exact config) ==", flush=True)
+    state = create_generator_state(
+        jax.random.PRNGKey(0), GeneratorConfig(), TrainConfig()
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    x = jnp.asarray(R.randn(64, 256, 3), jnp.float32)
+    for name, cfg in (
+        ("composed (xla)", GeneratorConfig()),
+        ("fused local", dataclasses.replace(
+            GeneratorConfig(), refine_local_impl="fused")),
+    ):
+        model = DisPUGenerator(cfg=cfg)
+        t = timed(f"forward {name}", lambda xx: model.apply(
+            variables, xx, train=False), (x,), iters=10)
+        print(f"  -> {64/(t/1e3):.0f} patches/s", flush=True)
+
 
 def batched_merge_ab():
     import jax.numpy as jnp
@@ -209,6 +264,7 @@ def main():
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     refiner_decomposition()
+    e2e_forward_ab()
     batched_merge_ab()
     streaming_e2e_ab()
 
