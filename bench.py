@@ -37,6 +37,7 @@ def parity_guard():
         fps_bucketed_pallas,
         fps_pallas,
         fps_pallas_chunked,
+        fps_pallas_chunked_batch,
         knn_group_pallas,
         knn_pallas,
         query_ball_pallas,
@@ -86,6 +87,11 @@ def parity_guard():
     # same XLA loop (bit-equal indices)
     f_c = jax.jit(lambda p: fps_pallas_chunked(256, p))(pts)
     cfps_ok = bool(jnp.array_equal(f_x, f_c))
+
+    # batch-fused chunked FPS (the streaming merge kernel, round 5):
+    # every cloud's selection bit-equal to the XLA loop
+    f_b = jax.jit(lambda p: fps_pallas_chunked_batch(256, p))(pts[:3])
+    batch_fps_ok = bool(jnp.array_equal(f_x[:3], f_b))
 
     # bucketed FPS: every bucket row's selection bit-equal to the XLA
     # loop on that bucket (the merge turbo mode's kernel)
@@ -195,15 +201,17 @@ def parity_guard():
 
     print(
         "parity knn_pallas=%s knn_packed_contract=%s fps_pallas=%s "
-        "fps_chunked=%s fps_bucketed=%s onehot_hp_gather=%s "
-        "onehot3_gather=%s ball_query=%s fused_knn_gather=%s "
-        "morton_rank=%s"
+        "fps_chunked=%s fps_chunked_batch=%s fps_bucketed=%s "
+        "onehot_hp_gather=%s onehot3_gather=%s ball_query=%s "
+        "fused_knn_gather=%s morton_rank=%s"
         % tuple("ok" if b else "MISMATCH"
-                for b in (knn_ok, packed_ok, fps_ok, cfps_ok, bfps_ok,
-                          hp_ok, oh3_ok, ball_ok, fused_ok, radix_ok))
+                for b in (knn_ok, packed_ok, fps_ok, cfps_ok, batch_fps_ok,
+                          bfps_ok, hp_ok, oh3_ok, ball_ok, fused_ok,
+                          radix_ok))
     )
-    assert (knn_ok and packed_ok and fps_ok and cfps_ok and bfps_ok
-            and hp_ok and oh3_ok and ball_ok and fused_ok and radix_ok), \
+    assert (knn_ok and packed_ok and fps_ok and cfps_ok and batch_fps_ok
+            and bfps_ok and hp_ok and oh3_ok and ball_ok and fused_ok
+            and radix_ok), \
         "on-chip kernel parity failed"
 
 
