@@ -100,6 +100,12 @@ def parse_args():
                         "the D update (ref:Common/visu_utils.py:309-334, "
                         "unused there; 0 = off)")
     p.add_argument("--patch_batch", type=int, default=32)
+    p.add_argument("--stream_batch", type=int, default=1,
+                   help="test phase: upsample this many same-size clouds "
+                        "per device program (batched patch pipeline + "
+                        "batch-fused merge FPS — the serial merge rounds "
+                        "are paid once per batch; see PERFORMANCE.md "
+                        "round 5).  1 = per-cloud (reference-parity flow)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--synthetic", type=int, default=0,
@@ -280,16 +286,43 @@ def run_test(args, cfg):
         gen_cfg=cfg.generator,
         inf_cfg=cfg.inference,
     )
-    for point_path in sorted(glob(args.test_data)):
-        logging.info("%s", point_path)
-        pc = read_xyz(point_path)[:, :3]
-        out = upsampler.upsample(pc)
-        name = os.path.basename(point_path)[:-4]
+    def write_out(name, out):
         out_path = os.path.join(
             out_folder, f"{name}_X{cfg.inference.final_ratio}.xyz"
         )
         write_xyz(out_path, out)
         logging.info("wrote %s (%d points)", out_path, len(out))
+
+    files = sorted(glob(args.test_data))
+    if args.stream_batch > 1:
+        # group same-size clouds and run each group through the batched
+        # streaming pipeline (one program per stream_batch clouds)
+        import numpy as np
+
+        by_size = {}
+        for point_path in files:
+            pc = read_xyz(point_path)[:, :3]
+            by_size.setdefault(len(pc), []).append(
+                (os.path.basename(point_path)[:-4], pc)
+            )
+        for size, items in sorted(by_size.items()):
+            for i in range(0, len(items), args.stream_batch):
+                chunk = items[i : i + args.stream_batch]
+                if len(chunk) == 1:
+                    write_out(chunk[0][0], upsampler.upsample(chunk[0][1]))
+                    continue
+                logging.info("streaming %d clouds of %d points",
+                             len(chunk), size)
+                outs = upsampler.upsample_many(
+                    np.stack([pc for _, pc in chunk])
+                )
+                for (name, _), out in zip(chunk, outs):
+                    write_out(name, out)
+        return
+    for point_path in files:
+        logging.info("%s", point_path)
+        pc = read_xyz(point_path)[:, :3]
+        write_out(os.path.basename(point_path)[:-4], upsampler.upsample(pc))
 
 
 def run_export(args, cfg):

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--lr_d", type=float, default=1e-4)
     ap.add_argument("--skip_cd", action="store_true")
     ap.add_argument("--skip_gan", action="store_true")
+    ap.add_argument("--restore", action="store_true",
+                    help="resume both trainings from their latest crash/"
+                         "scheduled checkpoints")
     ap.add_argument("--disk_seeds", type=int, default=1000)
     args = ap.parse_args()
 
@@ -75,13 +78,14 @@ def main():
     # whole epoch runs as chunked-scan dispatches with no stepwise tail
     # (a 40-step tail pays ~37 ms/step of tunnel overhead — ~0.17 h over
     # 401 epochs).  Logging cadence only; no training semantics change.
+    restore = ["--restore"] if args.restore else []
     if not args.skip_cd:
         leg("cd_train", lambda: run_cli([
             "--phase", "train", "--data_dir", "data",
             "--log_dir", "demo/log",
             "--steps_per_print", "74",
             "--cluster_prob", str(args.cluster_prob),
-        ]))
+        ] + restore))
     if not args.skip_gan:
         leg("gan_train", lambda: run_cli([
             "--phase", "train", "--data_dir", "data",
@@ -91,7 +95,7 @@ def main():
             "--gen_update", str(args.gen_update),
             "--base_lr_d", str(args.lr_d),
             "--cluster_prob", str(args.cluster_prob),
-        ]))
+        ] + restore))
 
     def x16():
         from scripts import x16_shift

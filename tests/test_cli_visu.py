@@ -116,3 +116,35 @@ class TestCLI:
         assert os.path.isfile(out_file)
         out = np.loadtxt(out_file)
         assert out.shape == (256 * 4, 3)
+
+    def test_phase_test_stream_batch(self, monkeypatch, tmp_path, rng):
+        """--stream_batch groups same-size clouds through upsample_many
+        (the round-5 streaming surface); odd sizes fall back per-cloud."""
+        import dispu
+        from dispu_tpu.train.state import create_generator_state
+        from dispu_tpu.utils.checkpoint import save_checkpoint
+        from dispu_tpu.evaluation.meshio import write_xyz
+
+        log_dir = str(tmp_path / "log")
+        for name, n in (("a", 256), ("b", 256), ("c", 200)):
+            write_xyz(str(tmp_path / f"{name}.xyz"),
+                      rng.randn(n, 3).astype(np.float32))
+        monkeypatch.setattr(
+            sys, "argv",
+            ["dispu.py", "--phase", "test", "--log_dir", log_dir,
+             "--patch_num_point", "64", "--patch_batch", "4",
+             "--stream_batch", "2",
+             "--test_data", str(tmp_path / "*.xyz"),
+             "--out_folder", str(tmp_path / "out")],
+        )
+        args = dispu.parse_args()
+        cfg = dispu.build_config(args)
+        state = create_generator_state(
+            jax.random.PRNGKey(0), cfg.generator, cfg.train
+        )
+        save_checkpoint(log_dir, state, 5)
+        dispu.run_test(args, cfg)
+        for name, n in (("a", 256), ("b", 256), ("c", 200)):
+            out = np.loadtxt(str(tmp_path / "out" / f"{name}_X4.xyz"))
+            assert out.shape == (n * 4, 3), name
+            assert np.isfinite(out).all()
