@@ -66,12 +66,14 @@ class GeneratorConfig:
     fused_grouping: bool = False
     # refiner local+skip branch evaluation at INFERENCE: 'xla' (composed
     # Dense/einsum chain) or 'fused' — one Pallas kernel per 128-point
-    # tile keeping all (b,n,k,·) intermediates in VMEM (the composed path
-    # round-trips ~3.9 GB of activations through HBM at b=64); f32 matmul
-    # round-off deviation only, same params/checkpoints.  Training and
-    # module init always use the composed path (the kernel has no
-    # autodiff rule).  Default pending the on-chip A/B
-    # (scripts/profile_r5b.py).
+    # tile keeping all (b,n,k,·) intermediates in VMEM.  Measured on chip
+    # (scripts/profile_r5b.py): the kernel wins 1.15 ms isolated but
+    # LOSES end-to-end (30.2 vs 29.2 ms forward b=64 — the opaque
+    # boundary forces the 0.56 GB grouped tensor to materialize where
+    # XLA otherwise fuses the gather into conv0) and its in-kernel dots
+    # run at bf16 grade under Mosaic.  Default stays 'xla'; the kernel
+    # ships as a tested option (training/init always use the composed
+    # path — no autodiff rule).
     refine_local_impl: str = "xla"
     # backbone DenseEdgeBlock evaluation: 'concat' (the reference's
     # literal dataflow — each conv reads a concatenated (b,n,k,·) tensor)

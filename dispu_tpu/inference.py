@@ -128,11 +128,13 @@ class PatchUpsampler:
         idx = farthest_point_sample(out_num, all_points[None])[0]
         return all_points[idx]
 
-    def _pipeline_impl(self, pc_n, seed_num: int, out_num: int, bs: int):
-        """prepare → chunked generator (lax.map) → un-normalize → merge,
-        fused into one XLA program (single-device path)."""
-        patches, p_centroid, p_furthest = self._prepare_impl(pc_n, seed_num)
-        pad = (-seed_num) % bs
+    def _chunked_generator(self, patches: jnp.ndarray, bs: int):
+        """Pad to a bs multiple, run bs-patch chunks through the
+        generator under ``lax.map`` (sharded over the data axis in SPMD
+        mode), and un-pad.  Shared by the single-cloud and streaming
+        pipelines so the chunking can never diverge between them."""
+        count = patches.shape[0]
+        pad = (-count) % bs
         if pad:
             filler = jnp.broadcast_to(
                 patches[:1], (pad,) + patches.shape[1:]
@@ -147,7 +149,13 @@ class PatchUpsampler:
                 jax.lax.with_sharding_constraint(ch, self._chunk_sharding)
             )
         preds = jax.lax.map(body, chunks)
-        pred = preds.reshape(-1, *preds.shape[2:])[:seed_num]
+        return preds.reshape(-1, *preds.shape[2:])[:count]
+
+    def _pipeline_impl(self, pc_n, seed_num: int, out_num: int, bs: int):
+        """prepare → chunked generator (lax.map) → un-normalize → merge,
+        fused into one XLA program (single-device path)."""
+        patches, p_centroid, p_furthest = self._prepare_impl(pc_n, seed_num)
+        pred = self._chunked_generator(patches, bs)
         pred = pred * p_furthest + p_centroid
         return self._merge_impl(pred.reshape(-1, 3), out_num)
 
@@ -174,22 +182,19 @@ class PatchUpsampler:
         )
         patches = flat.reshape(B * seed_num, patch_size, 3)
         patches, p_centroid, p_furthest = normalize_point_cloud(patches)
-        pad = (-patches.shape[0]) % bs
-        if pad:
-            filler = jnp.broadcast_to(
-                patches[:1], (pad,) + patches.shape[1:]
-            )
-            patches = jnp.concatenate([patches, filler], axis=0)
-        chunks = patches.reshape(-1, bs, *patches.shape[1:])
-        body = self._upsample_batch_impl
-        if self._chunk_sharding is not None:
-            body = lambda ch: self._upsample_batch_impl(  # noqa: E731
-                jax.lax.with_sharding_constraint(ch, self._chunk_sharding)
-            )
-        preds = jax.lax.map(body, chunks)
-        pred = preds.reshape(-1, *preds.shape[2:])[: B * seed_num]
+        pred = self._chunked_generator(patches, bs)
         pred = pred * p_furthest + p_centroid
         merged = pred.reshape(B, -1, 3)
+        if (
+            self.inf_cfg.merge_fps == "bucketed"
+            and out_num >= self.inf_cfg.merge_fps_buckets
+        ):
+            # honor the configured turbo merge: the bucketed FPS is
+            # already parallel per cloud, so run it per cloud inside the
+            # same program (no batch kernel exists or is needed for it)
+            return jnp.stack([
+                self._merge_impl(merged[v], out_num) for v in range(B)
+            ])
         midx = farthest_point_sample(out_num, merged, impl="batch")
         return jnp.take_along_axis(merged, midx[..., None], axis=1)
 

@@ -20,6 +20,13 @@ def _glorot():
     return nn.initializers.glorot_uniform()
 
 
+#: contrib.layers.batch_norm's default epsilon (the reference's BN,
+#: ref:Common/tf_util.py:527) — flax's 1e-5 default deviates measurably at
+#: inference with unit moving variance.  Shared with the fused refiner
+#: kernel's BN fold (nn/refine._fused_local) so the two can never diverge.
+BN_EPSILON = 1e-3
+
+
 class _PermutedRowDense(nn.Module):
     """Dense whose stored kernel rows are (a, b)-major but whose input is
     (b, a)-major flattened.
@@ -92,10 +99,7 @@ class PointConv(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=self.bn_momentum,
-                # contrib.layers.batch_norm's default (the reference's BN,
-                # ref:Common/tf_util.py:527) — flax's 1e-5 default deviates
-                # measurably at inference with unit moving variance
-                epsilon=1e-3,
+                epsilon=BN_EPSILON,
                 dtype=self.dtype,
                 name="bn",
             )(x)

@@ -57,8 +57,11 @@ class PointShuffle2(nn.Module):
     # 'fused' — one Pallas kernel per 128-point tile that keeps every
     # (b, n, k, ·) intermediate in VMEM (ops.pallas_kernels.
     # refine_local_pallas).  Inference-only (no autodiff rule; train=True
-    # and module init keep the composed path), f32-only, same params /
-    # checkpoint layout; values match to f32 matmul round-off.
+    # and module init keep the composed path), f32 params only, same
+    # checkpoint layout.  MEASURED NEGATIVE on chip (PERFORMANCE.md
+    # round-5): loses end-to-end (the opaque kernel boundary forces the
+    # grouped tensor to materialize) and its in-kernel dots run at
+    # bf16 grade under Mosaic — kept as a tested option.
     local_impl: str = "xla"
     dtype: Any = jnp.float32
 
@@ -106,7 +109,10 @@ class PointShuffle2(nn.Module):
             (k,), bn_momentum=self.bn_momentum, dtype=self.dtype,
             name="weight_net",
         )
-        c_prime = self.mlp[-2]
+        # width entering the weighted pooling: the last hidden conv's
+        # features, or the raw grouped width when mlp[:-1] is empty
+        c_prime = (self.mlp[-2] if len(self.mlp) > 1
+                   else grouped_feat.shape[-1])
         after_mod = PointConv(out_c, name="after_conv",
                               kernel_row_perm=(c_prime, k), **kw)
 
@@ -186,9 +192,11 @@ class PointShuffle2(nn.Module):
         w1, b1 = dense_params(conv_mods[1])
         wsk, bsk = dense_params(skip_mod)
         waf, baf = dense_params(after_mod)
+        from dispu_tpu.nn.layers import BN_EPSILON
+
         wn_p = wnet_mod.variables["params"]["wconv0"]
         wn_s = wnet_mod.variables["batch_stats"]["wconv0"]["bn"]
-        sc = wn_p["bn"]["scale"] * jax.lax.rsqrt(wn_s["var"] + 1e-3)
+        sc = wn_p["bn"]["scale"] * jax.lax.rsqrt(wn_s["var"] + BN_EPSILON)
         ww = wn_p["dense"]["kernel"] * sc[None, :]
         bw = (wn_p["dense"]["bias"] - wn_s["mean"]) * sc + wn_p["bn"]["bias"]
         # t-major row blocks of the (c'·k, out) checkpoint kernel — the

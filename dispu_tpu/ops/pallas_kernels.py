@@ -2459,10 +2459,15 @@ def refine_local_pallas(
 
     Returns:
       (b, n, c_out) f32 — relu(after_conv(pool)) + relu(skip), exactly
-      the sum PointShuffle2 feeds the non-local add.  Values match the
-      composed XLA path to f32 matmul round-off (same contraction
-      shapes, different fusion; pinned by
-      tests/test_pallas.py::TestRefineLocalPallas).
+      the sum PointShuffle2 feeds the non-local add.  Accuracy: in
+      interpret mode (CPU) values match the composed XLA path to f32
+      round-off (tests/test_pallas.py::TestRefineLocalPallas); ON REAL
+      HARDWARE Mosaic lowers these ``jnp.dot``s to single bf16 MXU
+      passes, so outputs measured bf16-grade (~2.6e-3 rel) against the
+      composed path — one reason this kernel is a measured-negative
+      OPTION, not the default (PERFORMANCE.md round-5; forcing
+      precision=HIGHEST would triple the MXU passes and bury its
+      already-marginal 1.15 ms isolated win).
     """
     b, n, k, cf = grouped.shape
     if n % tile_n:

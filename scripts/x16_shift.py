@@ -40,8 +40,8 @@ def evaluate_cloud(pred, gt, verts, faces):
     from dispu_tpu.evaluation.metrics import cd_hd, point_to_mesh_distance
 
     cd, hd = cd_hd(jnp.asarray(pred), jnp.asarray(gt))
-    p2f = point_to_mesh_distance(jnp.asarray(pred), verts, faces)
-    return float(cd), float(hd), float(jnp.mean(p2f))
+    dists, _ = point_to_mesh_distance(jnp.asarray(pred), verts, faces)
+    return float(cd), float(hd), float(jnp.mean(dists))
 
 
 def main(log_dir="demo/log", out_csv="/tmp/x16_shift.csv"):
