@@ -75,14 +75,33 @@ class PointShuffle2(nn.Module):
         kw = dict(use_bn=self.use_bn, bn_momentum=self.bn_momentum,
                   dtype=self.dtype)
 
-        grouped_xyz, grouped_feat, _ = grouping(
-            feature, k, xyz, xyz, use_xyz=True, use_knn=self.use_knn,
-            radius=self.radius if self.radius is not None else 0.2,
-            gather_impl=self.gather_impl,
-            knn_variant=self.knn_variant,
+        fusable = (
+            not train
+            and not self.is_initializing()
+            and not self.use_bn
+            and len(self.mlp) == 3
+            and jnp.dtype(self.dtype) == jnp.float32
         )
-        centered = grouped_xyz - xyz[:, :, None, :]
-        grouped_feat = jnp.concatenate([centered, grouped_feat], axis=-1)
+        # 'megafused' additionally skips the grouping: kNN + gathers +
+        # local MLP + skip run in ONE kernel with no grouped tensor
+        mega = (
+            self.local_impl == "megafused" and fusable
+            and self.use_knn and not self.refine_point and self.use_local
+            and k <= 16
+        )
+        if mega:
+            grouped_xyz = grouped_feat = centered = None
+        else:
+            grouped_xyz, grouped_feat, _ = grouping(
+                feature, k, xyz, xyz, use_xyz=True, use_knn=self.use_knn,
+                radius=self.radius if self.radius is not None else 0.2,
+                gather_impl=self.gather_impl,
+                knn_variant=self.knn_variant,
+            )
+            centered = grouped_xyz - xyz[:, :, None, :]
+            grouped_feat = jnp.concatenate(
+                [centered, grouped_feat], axis=-1
+            )
 
         new_xyz, new_feat = xyz, feature
         if self.refine_point:
@@ -111,21 +130,17 @@ class PointShuffle2(nn.Module):
         )
         # width entering the weighted pooling: the last hidden conv's
         # features, or the raw grouped width when mlp[:-1] is empty
-        c_prime = (self.mlp[-2] if len(self.mlp) > 1
-                   else grouped_feat.shape[-1])
+        c_prime = (self.mlp[-2] if len(self.mlp) > 1 else 6 + c)
         after_mod = PointConv(out_c, name="after_conv",
                               kernel_row_perm=(c_prime, k), **kw)
 
-        use_fused = (
-            self.local_impl == "fused"
-            and not train
-            and not self.is_initializing()
-            and not self.use_bn
-            and len(self.mlp) == 3
-            and jnp.dtype(self.dtype) == jnp.float32
-            and n % 128 == 0
-        )
-        if use_fused:
+        use_fused = self.local_impl == "fused" and fusable and n % 128 == 0
+        if mega:
+            y = self._mega_local(
+                conv_mods, wnet_mod, skip_mod, after_mod,
+                xyz, feature, c_prime, out_c, k,
+            )
+        elif use_fused:
             y = self._fused_local(
                 conv_mods, wnet_mod, skip_mod, after_mod,
                 grouped_feat, c_prime, out_c, k,
@@ -161,22 +176,19 @@ class PointShuffle2(nn.Module):
         out = PointConv(out_c, name="aggregation", **kw)(y, train)
         return new_xyz, out
 
-    def _fused_local(self, conv_mods, wnet_mod, skip_mod, after_mod,
-                     grouped_feat, c_prime, out_c, k):
-        """Run the local+skip branch through the fused Pallas kernel.
-
-        The submodules are touched with shape-correct dummies so their
-        params exist under the exact names/shapes of the composed path
-        (checkpoints, the TF converter, and the XLA path are untouched);
-        the kernel then consumes the raw Dense params, with the
-        weight-net's inference BN affine folded into its kernel/bias
-        (running stats are constants at train=False).
-        """
+    def _local_branch_params(self, conv_mods, wnet_mod, skip_mod,
+                             after_mod, cf, c_prime, out_c, k):
+        """Materialize the local-branch submodule params via shape-correct
+        dummy calls (their names/shapes stay exactly the composed path's —
+        checkpoints, the TF converter, and the XLA path are untouched)
+        and return the raw Dense params, with the weight-net's inference
+        BN affine folded into its kernel/bias (running stats are
+        constants at train=False) and the after_conv kernel as t-major
+        row blocks (the same permutation _PermutedRowDense applies)."""
         import jax
 
-        from dispu_tpu.ops.pallas_kernels import refine_local_pallas
+        from dispu_tpu.nn.layers import BN_EPSILON
 
-        cf = grouped_feat.shape[-1]
         z = jnp.zeros
         conv_mods[0](z((1, 1, 1, cf), jnp.float32), False)
         conv_mods[1](z((1, 1, 1, conv_mods[0].features), jnp.float32), False)
@@ -192,19 +204,46 @@ class PointShuffle2(nn.Module):
         w1, b1 = dense_params(conv_mods[1])
         wsk, bsk = dense_params(skip_mod)
         waf, baf = dense_params(after_mod)
-        from dispu_tpu.nn.layers import BN_EPSILON
-
         wn_p = wnet_mod.variables["params"]["wconv0"]
         wn_s = wnet_mod.variables["batch_stats"]["wconv0"]["bn"]
         sc = wn_p["bn"]["scale"] * jax.lax.rsqrt(wn_s["var"] + BN_EPSILON)
         ww = wn_p["dense"]["kernel"] * sc[None, :]
         bw = (wn_p["dense"]["bias"] - wn_s["mean"]) * sc + wn_p["bn"]["bias"]
-        # t-major row blocks of the (c'·k, out) checkpoint kernel — the
-        # same permutation _PermutedRowDense applies (see its docstring)
         waf3 = waf.reshape(c_prime, k, out_c).swapaxes(0, 1)
+        return w0, b0, w1, b1, ww, bw, wsk, bsk, waf3, baf
+
+    def _fused_local(self, conv_mods, wnet_mod, skip_mod, after_mod,
+                     grouped_feat, c_prime, out_c, k):
+        """Local+skip branch through the fused Pallas kernel (consumes
+        the already-grouped tensor; see refine_local_pallas)."""
+        import jax
+
+        from dispu_tpu.ops.pallas_kernels import refine_local_pallas
+
+        params = self._local_branch_params(
+            conv_mods, wnet_mod, skip_mod, after_mod,
+            grouped_feat.shape[-1], c_prime, out_c, k,
+        )
         return refine_local_pallas(
-            grouped_feat, w0, b0, w1, b1, ww, bw, wsk, bsk, waf3, baf,
+            grouped_feat, *params,
             # CPU (tests, dryruns): Mosaic cannot lower — run the kernel
             # in interpret mode so the flag stays functional everywhere
+            interpret=jax.default_backend() in ("cpu",),
+        )
+
+    def _mega_local(self, conv_mods, wnet_mod, skip_mod, after_mod,
+                    xyz, feature, c_prime, out_c, k):
+        """kNN + gathers + local MLP + skip in ONE kernel — no grouped
+        tensor exists at all (see refine_block_pallas; turbo grade)."""
+        import jax
+
+        from dispu_tpu.ops.pallas_kernels import refine_block_pallas
+
+        params = self._local_branch_params(
+            conv_mods, wnet_mod, skip_mod, after_mod,
+            6 + feature.shape[-1], c_prime, out_c, k,
+        )
+        return refine_block_pallas(
+            xyz, feature, *params,
             interpret=jax.default_backend() in ("cpu",),
         )

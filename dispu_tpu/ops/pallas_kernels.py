@@ -2503,3 +2503,227 @@ def refine_local_pallas(
         interpret=interpret,
     )(jnp.asarray(grouped, f32), *args)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mega-fused refiner block: kNN + gathers + local MLP + skip (round 5)
+# ---------------------------------------------------------------------------
+
+def _make_refine_block_kernel(k: int, c_out: int):
+    def kernel(pts_ref, q_ref, qx_ref, bias_ref, xt1_ref, xt2_ref, xt3_ref,
+               ft_ref, w0x_ref, w0f_ref, b0_ref, w1_ref, b1_ref,
+               wwx_ref, bw_ref, wskx_ref, wskf_ref, bsk_ref,
+               waf_ref, baf_ref, out_ref):
+        """One grid step = (one cloud, one query tile): exact kNN
+        selection + per-round one-hot gathers + the refiner's whole
+        local+skip branch, with NO (tm, k, ·) tensor ever existing.
+
+        Each selection round's knockout mask is the one-hot of the
+        chosen neighbor (as in _make_knn_group_kernel); the round
+        gathers that neighbor's xyz (3-term exact) and features (single
+        bf16 term — turbo grade) and immediately pushes the row through
+        conv0/conv1/weight-net, accumulating the weighted pooling and
+        the skip max — so the grouped tensor, conv activations, and
+        pooling weights all live only as per-round (tm, ·) registers.
+        after_conv folds in at the end as k matmuls against the t-major
+        kernel blocks.  The [cen|raw|feat] row concat is avoided by
+        splitting conv0/skip kernels into row blocks (cen/raw live in
+        16-lane planes, features in their own matmul).
+
+        Selection is bit-identical to knn_pallas (HIGHEST-precision
+        distances, maskout + first-lane tie rule); the MLP arithmetic is
+        TURBO grade (Mosaic lowers these dots to single bf16 passes).
+        """
+        p = pts_ref[0]          # (n_pad, c_pad) f32 — distance keys
+        q = q_ref[0]            # (tm, c_pad)
+        qx = qx_ref[0]          # (tm, 16) f32 — query xyz, lanes 0:3
+        n_pad = p.shape[0]
+        tm = q.shape[0]
+
+        p2 = jnp.sum(p * p, axis=1)[None, :]
+        q2 = jnp.sum(q * q, axis=1)[:, None]
+        qp = jnp.dot(
+            q, p.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        d = jnp.maximum(q2 - 2.0 * qp + p2, 0.0) + bias_ref[0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tm, n_pad), 1)
+        dn = (((1,), (0,)), ((), ()))  # (tm, n) @ (n, c)
+
+        xts = (xt1_ref[0], xt2_ref[0], xt3_ref[0])  # (n_pad, 16) bf16
+        ft = ft_ref[0]                              # (n_pad, cf) bf16
+        c_mid = w1_ref.shape[0]
+
+        pool = [jnp.zeros((tm, c_mid), jnp.float32) for _ in range(k)]
+        max_x = jnp.full((tm, 16), -jnp.inf, jnp.float32)
+        max_c = jnp.full((tm, 16), -jnp.inf, jnp.float32)
+        max_f = None
+
+        dc = d
+        for j in range(k):
+            mv2 = jnp.min(dc, axis=1, keepdims=True)
+            hit = jnp.where(dc == mv2, lane, n_pad)
+            sel2 = jnp.min(hit, axis=1, keepdims=True)
+            if j + 1 < k:
+                dc = jnp.where(lane == sel2, _KNN_SENTINEL, dc)
+            onehot = (lane == sel2).astype(jnp.bfloat16)
+
+            g9 = jax.lax.dot_general(
+                onehot, xts[0], dn, preferred_element_type=jnp.float32)
+            for xt in xts[1:]:
+                g9 = g9 + jax.lax.dot_general(
+                    onehot, xt, dn, preferred_element_type=jnp.float32)
+            gf = jax.lax.dot_general(
+                onehot, ft, dn, preferred_element_type=jnp.float32)
+
+            cen = g9 - qx                       # (tm, 16), lanes 0:3 live
+            # conv0 on the split row: cen/raw ride 16-lane planes
+            h = (jnp.dot(cen, w0x_ref[0], preferred_element_type=jnp.float32)
+                 + jnp.dot(g9, w0x_ref[1], preferred_element_type=jnp.float32)
+                 + jnp.dot(gf, w0f_ref[...], preferred_element_type=jnp.float32))
+            h = jnp.maximum(h + b0_ref[...], 0.0)
+            h = jnp.dot(h, w1_ref[...], preferred_element_type=jnp.float32)
+            h = jnp.maximum(h + b1_ref[...], 0.0)   # (tm, c_mid)
+            w = jnp.dot(cen, wwx_ref[...], preferred_element_type=jnp.float32)
+            w = jnp.maximum(w + bw_ref[...], 0.0)   # (tm, k<=16 lanes)
+            for t in range(k):
+                pool[t] = pool[t] + w[:, t][:, None] * h
+            max_x = jnp.maximum(max_x, cen)
+            max_c = jnp.maximum(max_c, g9)
+            max_f = gf if max_f is None else jnp.maximum(max_f, gf)
+
+        acc = jnp.zeros((tm, c_out), jnp.float32)
+        for t in range(k):
+            acc = acc + jnp.dot(
+                pool[t], waf_ref[t], preferred_element_type=jnp.float32)
+        after = jnp.maximum(acc + baf_ref[...], 0.0)
+
+        skip = (jnp.dot(max_x, wskx_ref[0], preferred_element_type=jnp.float32)
+                + jnp.dot(max_c, wskx_ref[1],
+                          preferred_element_type=jnp.float32)
+                + jnp.dot(max_f, wskf_ref[...],
+                          preferred_element_type=jnp.float32))
+        skip = jnp.maximum(skip + bsk_ref[...], 0.0)
+
+        out_ref[0] = after + skip
+
+    return kernel
+
+
+def refine_block_pallas(
+    xyz: jnp.ndarray,
+    feats: jnp.ndarray,
+    w0, b0, w1, b1, ww, bw, wsk, bsk, waf, baf,
+    tile_m: int = 128,
+    interpret: bool = False,
+):
+    """Fused kNN + gathers + local MLP + skip for the refiner (TURBO).
+
+    Args:
+      xyz: (b, n, 3) coarse points (kNN keys AND queries — the refiner's
+        self-neighborhood, k = ww.shape[-1]).
+      feats: (b, n, c) per-point features.
+      w0: (6+c, c_mid) conv0 kernel — rows [cen(3) | raw(3) | feat(c)],
+        exactly the composed path's layout.
+      ww/bw: weight-net Dense with the inference BN affine pre-folded
+        (rows are the 3 centered-xyz channels; k columns).
+      waf: (k, c_mid, c_out) t-major after_conv blocks (see
+        refine_local_pallas).
+      wsk: (6+c, c_out) skip kernel, same row layout as w0.
+
+    Returns:
+      (b, n, c_out) f32 — relu(after_conv(pool)) + relu(skip): the sum
+      PointShuffle2 feeds the non-local add, with NO grouped tensor ever
+      materialized (the composed path's (b, n, k, 6+c) neighborhood is
+      ~0.56 GB at the b=64 bench shape).  Neighbor SELECTION is exact
+      (bit-identical to knn_pallas); gathers and MLP arithmetic are
+      turbo-grade bf16 on real hardware.  ref:Common/ops.py:154-179 +
+      1012-1072 fused end to end.
+    """
+    b, n, _ = xyz.shape
+    c = feats.shape[-1]
+    k = ww.shape[-1]
+    c_mid = w1.shape[-1]
+    c_out = wsk.shape[-1]
+    if w0.shape[0] != 6 + c or wsk.shape[0] != 6 + c:
+        raise ValueError("w0/wsk rows must be [cen(3)|raw(3)|feat(c)]")
+    if k > 16:
+        raise ValueError("refine_block_pallas supports k <= 16")
+    n_pad = _round_up(max(n, 128), 128)
+    c_pad = 128
+    cf = _round_up(max(c, 128), 128)
+    m_pad = _round_up(max(n, tile_m), tile_m)
+    f32 = jnp.float32
+
+    p32 = jax.lax.stop_gradient(xyz).astype(f32)
+    pts = jnp.zeros((b, n_pad, c_pad), f32).at[:, :n, :3].set(p32)
+    qs = jnp.zeros((b, m_pad, c_pad), f32).at[:, :n, :3].set(p32)
+    qx = jnp.zeros((b, m_pad, 16), f32).at[:, :n, :3].set(p32)
+    bias = jnp.full((b, 1, n_pad), 1e30, f32).at[:, 0, :n].set(0.0)
+    xt_tables = []
+    for t in _bf16_terms(p32):
+        xt_tables.append(
+            jnp.zeros((b, n_pad, 16), jnp.bfloat16).at[:, :n, 0:3].set(t)
+        )
+    t1, _, _ = _bf16_terms(jax.lax.stop_gradient(feats).astype(f32))
+    ftbl = jnp.zeros((b, n_pad, cf), jnp.bfloat16).at[:, :n, :c].set(t1)
+
+    # split conv0/skip rows: [cen|raw] into two (16, c) planes, feat its
+    # own matmul with rows zero-padded to the table's cf lanes
+    def split16(wm):
+        wx = jnp.zeros((2, 16, wm.shape[-1]), f32)
+        wx = wx.at[0, 0:3].set(wm[0:3]).at[1, 0:3].set(wm[3:6])
+        wf = jnp.zeros((cf, wm.shape[-1]), f32).at[:c].set(wm[6:])
+        return wx, wf
+
+    w0x, w0f = split16(jnp.asarray(w0, f32))
+    wskx, wskf = split16(jnp.asarray(wsk, f32))
+    wwx = jnp.zeros((16, 16), f32).at[0:3, :k].set(jnp.asarray(ww, f32))
+    bw16 = jnp.zeros((1, 16), f32).at[0, :k].set(jnp.asarray(bw, f32))
+
+    def full(shape):
+        return pl.BlockSpec(shape, lambda i, j: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, n_pad, c_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_m, c_pad), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile_m, 16), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((1, n_pad, 16), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    ] * 3 + [
+        pl.BlockSpec((1, n_pad, cf), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        full((2, 16, c_mid)), full((cf, c_mid)), full((1, c_mid)),
+        full((c_mid, c_mid)), full((1, c_mid)),
+        full((16, 16)), full((1, 16)),
+        full((2, 16, c_out)), full((cf, c_out)), full((1, c_out)),
+        full((k, c_mid, c_out)), full((1, c_out)),
+    ]
+    out = pl.pallas_call(
+        _make_refine_block_kernel(k, c_out),
+        grid=(b, m_pad // tile_m),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile_m, c_out), lambda i, j: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, c_out), f32),
+        interpret=interpret,
+    )(
+        pts, qs, qx, bias, *xt_tables, ftbl,
+        w0x, w0f, jnp.asarray(b0, f32)[None],
+        jnp.asarray(w1, f32), jnp.asarray(b1, f32)[None],
+        wwx, bw16,
+        wskx, wskf, jnp.asarray(bsk, f32)[None],
+        jnp.asarray(waf, f32), jnp.asarray(baf, f32)[None],
+    )
+    return out[:, :n]

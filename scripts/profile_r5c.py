@@ -120,6 +120,71 @@ def fused_grouping_train_step():
         timed(f"train step {name}", one, (state, gt, radius), iters=10)
 
 
+def mega_refiner_legs():
+    """The round-5 mega-fused refiner block (kNN+gathers+MLP+skip in one
+    kernel, no grouped tensor): isolated kernel at the bench shape, and
+    the full forward with refine_local_impl='megafused' under the exact
+    and turbo configs."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from dispu_tpu.config import GeneratorConfig, TrainConfig
+    from dispu_tpu.models.generator import DisPUGenerator
+    from dispu_tpu.nn.refine import PointShuffle2
+    from dispu_tpu.ops.pallas_kernels import refine_block_pallas
+    from dispu_tpu.train.state import create_generator_state
+
+    print("== mega-fused refiner block ==", flush=True)
+    b, n, c, k = 64, 1024, 128, 16
+    xyz = jnp.asarray(R.randn(b, n, 3), jnp.float32)
+    feat = jnp.asarray(R.randn(b, n, c), jnp.float32)
+    mod = PointShuffle2(nsample=k, mlp=(128, 128, 256),
+                        gather_impl="onehot")
+    variables = mod.init(jax.random.PRNGKey(0), xyz, feat, train=False)
+    mod_mega = PointShuffle2(nsample=k, mlp=(128, 128, 256),
+                             gather_impl="onehot", local_impl="megafused")
+    try:
+        timed("mega refiner module (grouping+local+skip fused)",
+              lambda x, f: mod_mega.apply(variables, x, f, train=False),
+              (xyz, feat))
+    except Exception as e:
+        print(f"  mega refiner FAILED: {repr(e)[:400]}", flush=True)
+        return
+    timed("composed refiner module (onehot gather)",
+          lambda x, f: mod.apply(variables, x, f, train=False),
+          (xyz, feat))
+    _, want = jax.jit(
+        lambda x, f: mod.apply(variables, x, f, train=False))(xyz, feat)
+    _, got = jax.jit(
+        lambda x, f: mod_mega.apply(variables, x, f, train=False))(xyz, feat)
+    dev = float(jnp.max(jnp.abs(got - want)))
+    print(f"  mega vs composed-onehot max|Δ|: {dev:.2e} "
+          f"(scale {float(jnp.max(jnp.abs(want))):.2f})", flush=True)
+
+    state = create_generator_state(
+        jax.random.PRNGKey(0), GeneratorConfig(), TrainConfig()
+    )
+    gvars = {"params": state.params, "batch_stats": state.batch_stats}
+    x = jnp.asarray(R.randn(64, 256, 3), jnp.float32)
+    for name, cfg in (
+        ("exact + megafused", dataclasses.replace(
+            GeneratorConfig(), refine_local_impl="megafused")),
+        ("turbo + megafused", GeneratorConfig(
+            fast_gather=True, fast_gather_backbone=True, fast_knn=True,
+            fused_grouping=True, dense_impl="split",
+            refine_local_impl="megafused")),
+        ("turbo (round-4 flags)", GeneratorConfig(
+            fast_gather=True, fast_gather_backbone=True, fast_knn=True,
+            fused_grouping=True, dense_impl="split")),
+    ):
+        model = DisPUGenerator(cfg=cfg)
+        t = timed(f"forward {name}", lambda xx: model.apply(
+            gvars, xx, train=False), (x,), iters=10)
+        print(f"  -> {64/(t/1e3):.0f} patches/s", flush=True)
+
+
 def batched_merge_width_sweep():
     import jax.numpy as jnp
 
@@ -147,6 +212,7 @@ def main():
 
     print("backend:", jax.default_backend(), jax.devices(), flush=True)
     fused_grouping_at_bench_shape()
+    mega_refiner_legs()
     fused_grouping_train_step()
     batched_merge_width_sweep()
 

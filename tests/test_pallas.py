@@ -177,6 +177,80 @@ class TestFPSChunkedBatch:
         assert not _fps_chunked_batch_fits(3_000_000, 80_000, 3)  # VMEM
 
 
+class TestRefineBlockPallas:
+    """Mega-fused refiner block (round 5): kNN + gathers + local MLP +
+    skip in one kernel, no grouped tensor."""
+
+    def _mods(self, local_impl=None, gather_impl="onehot"):
+        from dispu_tpu.nn.refine import PointShuffle2
+
+        kwargs = dict(nsample=8, mlp=(32, 32, 64),
+                      gather_impl=gather_impl)
+        if local_impl:
+            kwargs["local_impl"] = local_impl
+        return PointShuffle2(**kwargs)
+
+    def test_module_matches_composed_turbo_gather(self, rng):
+        """local_impl='megafused' equals the composed path with the
+        bf16-rounded ('onehot') feature gather: exact selection + exact
+        xyz, turbo features, identical MLP math (interpret mode)."""
+        import jax
+
+        xyz = jnp.asarray(rng.randn(2, 256, 3), jnp.float32)
+        feat = jnp.asarray(rng.randn(2, 256, 16), jnp.float32)
+        ref = self._mods()
+        variables = ref.init(jax.random.PRNGKey(0), xyz, feat, train=False)
+        bn = variables["batch_stats"]["weight_net"]["wconv0"]["bn"]
+        bn["mean"] = bn["mean"] + 0.05
+        bn["var"] = bn["var"] * 1.3
+        _, want = ref.apply(variables, xyz, feat, train=False)
+        _, got = self._mods("megafused").apply(
+            variables, xyz, feat, train=False
+        )
+        scale = float(jnp.abs(want).max())
+        assert float(jnp.abs(got - want).max()) < 1e-5 * max(scale, 1.0)
+
+    def test_unaligned_n_pads(self, rng):
+        """n not a multiple of the tile pads internally (m_pad grid)."""
+        import jax
+
+        xyz = jnp.asarray(rng.randn(1, 200, 3), jnp.float32)
+        feat = jnp.asarray(rng.randn(1, 200, 16), jnp.float32)
+        ref = self._mods()
+        variables = ref.init(jax.random.PRNGKey(1), xyz, feat, train=False)
+        _, want = ref.apply(variables, xyz, feat, train=False)
+        _, got = self._mods("megafused").apply(
+            variables, xyz, feat, train=False
+        )
+        assert got.shape == want.shape
+        scale = float(jnp.abs(want).max())
+        assert float(jnp.abs(got - want).max()) < 1e-5 * max(scale, 1.0)
+
+    def test_train_and_grads_keep_composed_path(self, rng):
+        import jax
+
+        from dispu_tpu.nn.refine import PointShuffle2
+
+        xyz = jnp.asarray(rng.randn(1, 128, 3), jnp.float32)
+        feat = jnp.asarray(rng.randn(1, 128, 16), jnp.float32)
+        mod = PointShuffle2(nsample=8, mlp=(32, 32, 64),
+                            gather_impl="gather", local_impl="megafused")
+        variables = mod.init(jax.random.PRNGKey(0), xyz, feat, train=False)
+
+        def loss(params):
+            (_, out), _ = mod.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                xyz, feat, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        flat = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+        assert any(float(jnp.abs(x).max()) > 0 for x in flat)
+
+
 class TestRefineLocalPallas:
     """Fused refiner local+skip branch (VERDICT r4 item 5)."""
 
