@@ -73,7 +73,12 @@ class GeneratorConfig:
     # XLA otherwise fuses the gather into conv0) and its in-kernel dots
     # run at bf16 grade under Mosaic.  Default stays 'xla'; the kernel
     # ships as a tested option (training/init always use the composed
-    # path — no autodiff rule).
+    # path — no autodiff rule).  'megafused' (round 5) goes further:
+    # kNN + gathers + local MLP + skip in ONE kernel with no grouped
+    # tensor at all (ops.pallas_kernels.refine_block_pallas — exact
+    # selection, turbo-grade bf16 gathers/MLP; inference-only, falls
+    # back composed when its gates miss; decision legs in
+    # scripts/profile_r5c.py).
     refine_local_impl: str = "xla"
     # backbone DenseEdgeBlock evaluation: 'concat' (the reference's
     # literal dataflow — each conv reads a concatenated (b,n,k,·) tensor)
