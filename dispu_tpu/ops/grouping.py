@@ -312,15 +312,17 @@ def grouping(
     gate below).
     """
     if use_knn and gather_impl in ("fused", "fused_turbo"):
-        # n ≤ 2048 rides the round-3 unrolled form (measured r3u §K:
-        # 19.1 → 13.8 ms exact / 10.6 turbo at (64,1024,c128)).  The
-        # round-4 fori_loop form (knn_group_pallas select='loop') fits
-        # the VMEM envelope at n=4096 that the unrolled knockout chain
-        # blew, but LOSES to the composed path there (r4a on chip:
-        # 82.65 ms fused-turbo vs 45.50 composed-onehot at
-        # (32,4096,c128); the serialized rounds cannot pipeline), so
-        # the dispatch gate stays at n ≤ 2048 and the loop form remains
-        # a measured-negative formulation, not a production path.
+        # n ≤ 2048 rides the round-3 unrolled form.  HISTORY: r3u §K
+        # measured it winning 19.1 → 13.8 ms exact at (64,1024,c128),
+        # but the composed path has since overtaken it — the round-5
+        # re-measurement (scripts/profile_r5c, same shape) reads
+        # composed-onehot_hp 11.43 vs fused 13.10 ms isolated, forward
+        # b=64 2229 vs 2090 patches/s, and the b=28 train step 37.2 vs
+        # 58.3 ms — so the fused form is now a measured NEGATIVE at the
+        # bench shape too (gathers still bit-exact, dev 0.0 on chip)
+        # and stays strictly opt-in.  The round-4 fori_loop form
+        # (select='loop') likewise loses at n=4096 (r4a: 82.65 vs
+        # 45.50 ms); the dispatch gate stays at n ≤ 2048.
         fits = (
             jax.default_backend() not in ("cpu", "gpu")
             and src_xyz.shape[1] <= 2048

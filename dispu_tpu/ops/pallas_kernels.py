@@ -470,15 +470,21 @@ def _make_fps_chunked_batch_kernel(npoint: int, width: int, bsz: int):
 @functools.partial(jax.jit, static_argnums=(0, 2, 3))
 def fps_pallas_chunked_batch(
     npoint: int, xyz: jnp.ndarray, interpret: bool = False,
-    width: int = 128,
+    width: int = 256,
 ):
     """Batch-fused chunked FPS: all ``b`` clouds advance per round (see
     _make_fps_chunked_batch_kernel).  Same contract as
     :func:`fps_pallas_chunked` per cloud — (b, npoint) int32, seed index
     0, bit-identical selection — with the serial round chain amortized
     across the batch (the streaming inference API's merge stage,
-    VERDICT r4 item 6).  Caller gates VMEM residency
-    (ops.sampling._fps_chunked_fits with the b× multiplier)."""
+    VERDICT r4 item 6).  ``width`` default 256: the round-5 on-chip
+    sweep at the 16x merge scale (80k from 237.5k, scripts/profile_r5c)
+    measured per-cloud 209.6/148.7/141.8 ms at b=2 width 128/256/512
+    and 193.9/136.0/181.2 ms at b=3 — 256 is the sweet spot for both
+    production batch sizes (b=3 @ 512 regresses on VMEM pressure), vs
+    283 ms for the b=1 kernel: **2.08×** per-cloud at b=3.  Caller
+    gates VMEM residency (ops.sampling._fps_chunked_fits with the b×
+    multiplier)."""
     assert width % 128 == 0 and width > 0
     b, n, _ = xyz.shape
     cw = 8 * width
